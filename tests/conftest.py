@@ -1,0 +1,31 @@
+"""Test env: force CPU with a virtual 8-device mesh before JAX initializes."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def make_frame(rng, h, w, is_hdr=False):
+    """Random NV12/P010-style planar frame (y, uv-interleaved)."""
+    if is_hdr:
+        y = rng.integers(0, 65536, (h, w), dtype=np.uint16)
+        uv = rng.integers(0, 65536, (h // 2, w), dtype=np.uint16)
+    else:
+        y = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        uv = rng.integers(0, 256, (h // 2, w), dtype=np.uint8)
+    return y, uv
+
+
+def make_flow(rng, low_h, low_w, max_mag=8):
+    return rng.integers(-max_mag, max_mag + 1, (2, low_h, low_w)).astype(np.int16)
