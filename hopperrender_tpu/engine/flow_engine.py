@@ -1,0 +1,187 @@
+"""OpticalFlowEngine — device-resident interpolation engine.
+
+TPU-native equivalent of the reference's OpticalFlowCalc/SDR/HDR classes
+(ref: opticalFlowCalc.h:24-138, opticalFlowCalcSDR.cpp, opticalFlowCalcHDR.cpp):
+
+  * 3-deep frame ring in HBM; slot 2 = newest frame N, slot 1 = N-1, slot 0 = N-2
+    (ref: opticalFlowCalcSDR.cpp:19-29).
+  * Flow computed between slots 1 and 2, while warping reads slots 0 and 1 with the
+    PREVIOUS pair's blurred flow — the 1-pair software pipeline that gives the filter
+    its 2-source-frame latency (ref: opticalFlowCalcSDR.cpp:79-80,121-123,154-156;
+    SURVEY.md §2.2).
+  * The reference's one mid-loop blocking readback of m_totalFrameDelta
+    (ref: opticalFlowCalcSDR.cpp:91-94) becomes an async device scalar: the jitted
+    pyramid returns it as an array and the host only syncs when the scene-change
+    logic consumes it, after the whole flow computation has been dispatched.
+  * Timing (ofc calc time / warp time, 240-frame avg/peak windows,
+    ref: opticalFlowCalcSDR.cpp:118-138, config.h:17) is wall-clock around
+    block_until_ready — the XLA analogue of OpenCL event profiling.
+
+All compute is jitted with static shapes per (resolution, hdr) and traced scalars for
+everything the auto quality scaler or user can change per frame (search radius, delta
+and neighbor scalars, blending scalar, levels) so no re-jit happens during streaming.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hopperrender_tpu import config
+from hopperrender_tpu.ops import flow as flow_ops
+from hopperrender_tpu.ops import warp as warp_ops
+
+
+class CalcTimeWindow:
+    """avg/peak over CALC_TIME_INTERVAL frames (ref: opticalFlowCalcSDR.cpp:128-138)."""
+
+    def __init__(self, interval: int = config.CALC_TIME_INTERVAL):
+        self.interval = interval
+        self.current = 0.0
+        self.avg = 0.0
+        self.peak = 0.0
+        self._count = 0
+        self._sum = 0.0
+
+    def record(self, seconds: float) -> None:
+        self.current = seconds
+        if self._count >= self.interval:
+            self.avg = self._sum / self._count
+            self._count = 0
+            self._sum = 0.0
+            self.peak = seconds
+        self._count += 1
+        self._sum += seconds
+        if seconds > self.peak:
+            self.peak = seconds
+
+
+class OpticalFlowEngine:
+    """Single-device interpolation engine (SDR uint8 NV12 planes / HDR uint16 P010)."""
+
+    def __init__(
+        self,
+        frame_height: int,
+        frame_width: int,
+        *,
+        is_hdr: bool = False,
+        delta_scalar: int = config.DEFAULT_DELTA_SCALAR,
+        neighbor_scalar: int = config.DEFAULT_NEIGHBOR_SCALAR,
+        black_level: float = float(config.DEFAULT_BLACK_LEVEL),
+        white_level: float = float(config.DEFAULT_WHITE_LEVEL),
+        max_calc_res: int = config.MAX_CALC_RES,
+        device=None,
+    ):
+        if frame_height % 2 or frame_width % 2:
+            raise ValueError("NV12/P010 frames require even dimensions")
+        self.h = frame_height
+        self.w = frame_width
+        self.is_hdr = is_hdr
+        self.res_scalar, self.low_h, self.low_w = config.calc_flow_dims(
+            frame_height, frame_width, max_calc_res
+        )
+        self.search_radius = config.MIN_SEARCH_RADIUS
+        self.delta_scalar = delta_scalar
+        self.neighbor_scalar = neighbor_scalar
+        self.black_level = black_level
+        self.white_level = white_level
+        self.frame_count = 0
+        self.total_frame_delta = 0
+        self._pending_delta_raw = None  # device scalar, fetched lazily
+        self.ofc_time = CalcTimeWindow()
+        self.warp_time = CalcTimeWindow()
+        self._device = device or jax.devices()[0]
+
+        dtype = jnp.uint16 if is_hdr else jnp.uint8
+        zero_y = jnp.zeros((self.h, self.w), dtype)
+        zero_uv = jnp.zeros((self.h // 2, self.w), dtype)
+        put = lambda a: jax.device_put(a, self._device)
+        self._frames_y = [put(zero_y) for _ in range(3)]
+        self._frames_uv = [put(zero_uv) for _ in range(3)]
+        zero_flow = jnp.zeros((2, self.low_h, self.low_w), jnp.int16)
+        # blurred[0] = previous pair's flow (consumed by warp); blurred[1] = newest.
+        self._blurred = [put(zero_flow), put(zero_flow)]
+
+    # The underlying ops are module-level jits with static argnames, so engines with
+    # the same (resolution, hdr) share one compilation — no per-instance traces.
+
+    # -- streaming API (mirrors OpticalFlowCalc) -----------------------------
+
+    def update_frame(self, y: np.ndarray, uv: np.ndarray) -> None:
+        """Ingest frame N and rotate the ring (ref: opticalFlowCalcSDR.cpp:19-29)."""
+        dtype = np.uint16 if self.is_hdr else np.uint8
+        y_dev = jax.device_put(np.ascontiguousarray(y, dtype=dtype), self._device)
+        uv_dev = jax.device_put(np.ascontiguousarray(uv, dtype=dtype), self._device)
+        self._frames_y = [self._frames_y[1], self._frames_y[2], y_dev]
+        self._frames_uv = [self._frames_uv[1], self._frames_uv[2], uv_dev]
+        self.frame_count += 1
+        self._ofc_start = time.perf_counter()
+
+    def calculate_optical_flow(self) -> None:
+        """Compute flow for the newest pair (slots 1,2); swap the flow double buffer
+        so warping uses the previous pair's flow (ref: opticalFlowCalcSDR.cpp:44-139)."""
+        _, blurred, delta_raw = flow_ops.pyramid_flow(
+            self._frames_y[1], self._frames_uv[1], self._frames_y[2], self._frames_uv[2],
+            jnp.int32(self.search_radius), jnp.int32(self.delta_scalar),
+            jnp.int32(self.neighbor_scalar),
+            low_h=self.low_h, low_w=self.low_w, res_scalar=self.res_scalar,
+            is_hdr=self.is_hdr,
+        )
+        self._blurred = [self._blurred[1], blurred]
+        self._pending_delta_raw = delta_raw
+        # Timing: dispatch-to-done around the flow computation (event-profiling analogue).
+        blurred.block_until_ready()
+        self.ofc_time.record(time.perf_counter() - self._ofc_start)
+
+    def fetch_total_frame_delta(self) -> int:
+        """Sync point for the scene-change scalar; normalization is truncating integer
+        division (ref: opticalFlowCalcSDR.cpp:92-94 /10, opticalFlowCalcHDR.cpp:93 /6)."""
+        if self._pending_delta_raw is not None:
+            norm = self.low_h * self.low_w * (6 if self.is_hdr else 10)
+            self.total_frame_delta = int(self._pending_delta_raw) // norm
+            self._pending_delta_raw = None
+        return self.total_frame_delta
+
+    def _levels(self) -> tuple[float, float]:
+        """HDR pre-scales levels x256 (ref: opticalFlowCalcHDR.cpp:151-152)."""
+        if self.is_hdr:
+            return self.black_level * 256.0, self.white_level * 256.0
+        return self.black_level, self.white_level
+
+    def warp_frames(self, blending_scalar: float, frame_output_mode: int):
+        """Warp slots 0,1 with the previous pair's flow
+        (ref: opticalFlowCalcSDR.cpp:141-168)."""
+        if blending_scalar > 1.0:
+            raise ValueError("Blending scalar is greater than 1.0")
+        black, white = self._levels()
+        start = time.perf_counter()
+        y, uv = warp_ops.warp_frame(
+            self._frames_y[0], self._frames_uv[0], self._frames_y[1], self._frames_uv[1],
+            self._blurred[0], jnp.float32(blending_scalar),
+            jnp.float32(black), jnp.float32(white),
+            res_scalar=self.res_scalar, mode=int(frame_output_mode), is_hdr=self.is_hdr,
+        )
+        uv.block_until_ready()
+        self.warp_time.record(time.perf_counter() - start)
+        return y, uv
+
+    def copy_frame(self):
+        """Passthrough of the pipeline-latency-matched slot
+        (ref: opticalFlowCalcSDR.cpp:170-183)."""
+        idx = 0 if self.frame_count >= 3 else (1 if self.frame_count >= 2 else 2)
+        black, white = self._levels()
+        start = time.perf_counter()
+        y, uv = warp_ops.copy_frame(
+            self._frames_y[idx], self._frames_uv[idx],
+            jnp.float32(black), jnp.float32(white), is_hdr=self.is_hdr,
+        )
+        uv.block_until_ready()
+        self.warp_time.record(time.perf_counter() - start)
+        return y, uv
+
+    def reset_stream(self) -> None:
+        """Seek / new segment: restart the warmup (ref: HopperRender.cpp:840)."""
+        self.frame_count = 0

@@ -2,10 +2,17 @@
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The shell env pre-sets JAX_PLATFORMS=axon (the real-TPU tunnel with remote
+# compilation); tests must run on the local CPU backend, so override, don't default.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; the config key works.
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 import numpy as np
 import pytest
