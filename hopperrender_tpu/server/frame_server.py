@@ -1,0 +1,272 @@
+"""FrameServer — the standalone TPU frame-interpolation server.
+
+This is the serving layer that replaces the reference's DirectShow filter + vendored
+baseclasses (SURVEY.md §2.5): frame transport, format handling, dynamic resolution
+changes, cadence/timestamps, scene gating, auto quality scaling, side-data
+passthrough, live settings, and metrics — wrapped around the pure TPU engine.
+
+API:
+    server = FrameServer(width, height, source_fps=24.0, settings=Settings(target_fps=60))
+    outputs = server.push_frame(y, uv, pts=..., side_data={...})   # planar
+    outputs = server.push_packed(buf, pts=...)                     # NV12/P010 buffer
+    server.new_segment(rate=1.0)                                   # seek / rate change
+    server.update_settings(target_fps=120)                         # live (iez.h:39-50)
+    m = server.metrics()                                           # iez.h:13-37 fields
+
+The per-source-frame flow mirrors CHopperRender::DeliverToRenderer
+(ref: HopperRender.cpp:847-1211):
+  resolution change -> engine rebuild (ref: :722-791, CustomInputPin.cpp:103-122)
+  lazy engine init by bit depth (ref: :906-925)
+  cadence seed + intermediate frame count (ref: :938-948)
+  auto quality scaling (ref: :951, :1438-1463)
+  updateFrame -> flow calc (if Active and warmed up) -> delta history (ref: :953-972)
+  per output: side data, timestamps, scene gate, warp-or-copy, blending advance
+  (ref: :979-1211)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from hopperrender_tpu import config
+from hopperrender_tpu.config import ActiveState, FrameOutput, Settings
+from hopperrender_tpu.engine.flow_engine import OpticalFlowEngine
+from hopperrender_tpu.server import sidedata as sd
+from hopperrender_tpu.server.control import AutoQualityScaler, CadenceController
+from hopperrender_tpu.utils.logging import get_logger
+from hopperrender_tpu.vio import nv12
+
+log = get_logger("server")
+
+
+@dataclasses.dataclass
+class OutputFrame:
+    """One delivered output sample."""
+
+    y: np.ndarray
+    uv: np.ndarray
+    start_time: int           # 100 ns ticks (REFERENCE_TIME semantics)
+    end_time: int
+    blending_scalar: float
+    interpolated: bool        # False = passthrough copy
+    scene_change: bool
+    side_data: dict[str, bytes]
+
+    def packed(self, stride: int | None = None) -> np.ndarray:
+        return nv12.pack(np.asarray(self.y), np.asarray(self.uv), stride)
+
+
+@dataclasses.dataclass
+class ServerMetrics:
+    """Live metrics snapshot — one field per out-param of the reference's
+    GetCurrentSettings (ref: iez.h:13-37, HopperRender.cpp:1243-1352)."""
+
+    activated: bool
+    frame_output: int
+    target_fps: float
+    use_display_fps: bool
+    delta_scalar: int
+    neighbor_scalar: int
+    black_level: int
+    white_level: int
+    scene_change_threshold: int
+    active_state: int
+    source_fps: float
+    ofc_calc_time: float
+    avg_ofc_calc_time: float
+    peak_ofc_calc_time: float
+    warp_calc_time: float
+    dim_x: int
+    dim_y: int
+    low_dim_x: int
+    low_dim_y: int
+    peak_scene_change_delta: int
+    peak_scene_change_delta2: int
+    buffer_frames: int
+    search_radius: int
+
+
+class FrameServer:
+    def __init__(
+        self,
+        width: int,
+        height: int,
+        *,
+        source_fps: float = 24.0,
+        is_hdr: bool = False,
+        settings: Settings | None = None,
+        display_fps: float | None = None,
+        device=None,
+    ):
+        self.settings = (settings or Settings()).validate()
+        self.is_hdr = is_hdr
+        self.width = width
+        self.height = height
+        self._display_fps = display_fps
+        self._device = device
+        target = self._resolve_target_fps()
+        self.cadence = CadenceController(
+            source_fps, target,
+            activated=self.settings.activated,
+            buffer_frames=self.settings.buffer_frames,
+        )
+        self.scaler = AutoQualityScaler()
+        self.engine: OpticalFlowEngine | None = None  # lazy (ref: HopperRender.cpp:906-925)
+        self._frame_index = 0
+
+    # -- configuration ------------------------------------------------------
+
+    def _resolve_target_fps(self) -> float:
+        """use_display_fps substitutes the display refresh rate for the user target
+        (ref: HopperRender.cpp:1376-1380, useDisplayRefreshRate :329-345)."""
+        if self.settings.use_display_fps and self._display_fps:
+            return float(self._display_fps)
+        return float(self.settings.target_fps)
+
+    def _build_engine(self) -> OpticalFlowEngine:
+        log.info(
+            "Initializing optical-flow engine %dx%d (%s)",
+            self.width, self.height, "HDR/P010" if self.is_hdr else "SDR/NV12",
+        )
+        eng = OpticalFlowEngine(
+            self.height, self.width,
+            is_hdr=self.is_hdr,
+            delta_scalar=self.settings.delta_scalar,
+            neighbor_scalar=self.settings.neighbor_scalar,
+            black_level=float(self.settings.black_level),
+            white_level=float(self.settings.white_level),
+            max_calc_res=self.settings.max_calc_res,
+            device=self._device,
+        )
+        return eng
+
+    def update_settings(self, **kwargs) -> None:
+        """Live settings update (ref: UpdateUserSettings HopperRender.cpp:1355-1435).
+        Accepts any Settings field; applies engine tunables without rebuild."""
+        st = dataclasses.replace(self.settings, **kwargs).validate()
+        self.settings = st
+        if "activated" in kwargs:
+            self.cadence.set_activated(st.activated)
+        self.cadence.buffer_frames = st.buffer_frames
+        self.cadence.set_target_fps(self._resolve_target_fps())
+        if self.engine is not None:  # (ref: HopperRender.cpp:1385-1390)
+            self.engine.delta_scalar = st.delta_scalar
+            self.engine.neighbor_scalar = st.neighbor_scalar
+            self.engine.black_level = float(st.black_level)
+            self.engine.white_level = float(st.white_level)
+
+    def set_display_fps(self, fps: float) -> None:
+        """Display refresh-rate re-poll hook (ref: HopperRender.cpp:793-800)."""
+        self._display_fps = fps
+        self.cadence.set_target_fps(self._resolve_target_fps())
+
+    def new_segment(self, rate: float = 1.0) -> None:
+        """Seek / playback-rate change (ref: HopperRender.cpp:834-844)."""
+        self.cadence.new_segment(rate)
+        if self.engine is not None:
+            self.engine.reset_stream()
+
+    # -- streaming ----------------------------------------------------------
+
+    def push_packed(self, buf, *, pts: int | None = None, stride: int | None = None,
+                    side_data: dict[str, bytes] | None = None) -> list[OutputFrame]:
+        y, uv = nv12.unpack(buf, self.height, self.width, stride, is_hdr=self.is_hdr)
+        return self.push_frame(y, uv, pts=pts, side_data=side_data)
+
+    def push_frame(self, y: np.ndarray, uv: np.ndarray, *, pts: int | None = None,
+                   side_data: dict[str, bytes] | None = None) -> list[OutputFrame]:
+        """Ingest one decoded source frame; return 0..N output frames."""
+        # Dynamic resolution change: rebuild the engine, keep the clock
+        # (ref: HopperRender.cpp:722-791).
+        h, w = y.shape
+        if (h, w) != (self.height, self.width):
+            log.info("Resolution change %dx%d -> %dx%d", self.width, self.height, w, h)
+            self.height, self.width = h, w
+            self.engine = None
+
+        if self.engine is None:
+            self.engine = self._build_engine()
+        eng = self.engine
+
+        if pts is None:
+            pts = self._frame_index * self.cadence.source_frame_time
+        self._frame_index += 1
+
+        num_outputs = self.cadence.begin_source_frame(pts)
+
+        # Auto quality scaling before this frame's work
+        # (ref: HopperRender.cpp:951, 1438-1463).
+        eng.search_radius = self.scaler.adjust(
+            eng.search_radius, eng.ofc_time.current, self.cadence.playback_frame_time
+        )
+
+        eng.update_frame(y, uv)
+
+        state = self.cadence.state
+        warmed = eng.frame_count >= 3
+        if state == ActiveState.ACTIVE and warmed:
+            eng.calculate_optical_flow()
+            self.cadence.scene.add_frame_delta(
+                eng.frame_count, eng.fetch_total_frame_delta(),
+                self.cadence.source_frame_time,
+            )
+
+        out_side = sd.passthrough(side_data)
+        outputs: list[OutputFrame] = []
+        for _ in range(num_outputs):
+            # Scene-change decision per output (constant within one source frame,
+            # ref: HopperRender.cpp:1126-1176).
+            scene_change = self.cadence.scene.evaluate(
+                eng.frame_count, self.cadence.source_frame_time,
+                self.settings.scene_change_threshold,
+            )
+            timing = self.cadence.next_output_timing()
+            if state == ActiveState.ACTIVE and warmed and not scene_change:
+                oy, ouv = eng.warp_frames(timing.blending_scalar, self.settings.frame_output)
+                interpolated = True
+            else:  # (ref: HopperRender.cpp:1179-1183)
+                oy, ouv = eng.copy_frame()
+                interpolated = False
+            self.scaler.add_warp_duration(eng.warp_time.current)
+            self.cadence.advance_blending()
+            outputs.append(OutputFrame(
+                y=np.asarray(oy), uv=np.asarray(ouv),
+                start_time=timing.start_time, end_time=timing.end_time,
+                blending_scalar=timing.blending_scalar,
+                interpolated=interpolated, scene_change=scene_change,
+                side_data=dict(out_side),
+            ))
+        return outputs
+
+    # -- observability ------------------------------------------------------
+
+    def metrics(self) -> ServerMetrics:
+        eng = self.engine
+        c = self.cadence
+        return ServerMetrics(
+            activated=c.state != ActiveState.DEACTIVATED,
+            frame_output=self.settings.frame_output,
+            target_fps=1e7 / c.target_frame_time if c.target_frame_time else 0.0,
+            use_display_fps=self.settings.use_display_fps,
+            delta_scalar=self.settings.delta_scalar,
+            neighbor_scalar=self.settings.neighbor_scalar,
+            black_level=self.settings.black_level,
+            white_level=self.settings.white_level,
+            scene_change_threshold=self.settings.scene_change_threshold,
+            active_state=int(c.state),
+            source_fps=1e7 / c.source_frame_time if c.source_frame_time else 0.0,
+            ofc_calc_time=eng.ofc_time.current if eng else 0.0,
+            avg_ofc_calc_time=eng.ofc_time.avg if eng else 0.0,
+            peak_ofc_calc_time=eng.ofc_time.peak if eng else 0.0,
+            warp_calc_time=eng.warp_time.current if eng else 0.0,
+            dim_x=self.width,
+            dim_y=self.height,
+            low_dim_x=eng.low_w if eng else 0,
+            low_dim_y=eng.low_h if eng else 0,
+            peak_scene_change_delta=c.scene.peak_delta1,
+            peak_scene_change_delta2=c.scene.peak_delta2,
+            buffer_frames=self.settings.buffer_frames,
+            search_radius=eng.search_radius if eng else config.MIN_SEARCH_RADIUS,
+        )
