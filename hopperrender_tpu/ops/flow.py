@@ -30,11 +30,13 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from hopperrender_tpu import config
 
 MAX_R = config.MAX_SEARCH_RADIUS
-UINT32_MAX = jnp.uint32(0xFFFFFFFF)
+UINT32_MAX = np.uint32(0xFFFFFFFF)  # numpy, not jnp: module-level device constants
+                                    # break tracing on remote/tunneled backends
 
 
 def _signed_square_i16(rel: jnp.ndarray) -> jnp.ndarray:
