@@ -57,7 +57,8 @@ def _abs_diff_i32(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("window_size", "res_scalar", "iteration", "step", "is_hdr"),
+    static_argnames=("window_size", "res_scalar", "iteration", "step", "is_hdr",
+                     "num_layers"),
 )
 def delta_window_sums(
     f1y: jnp.ndarray,
@@ -68,23 +69,28 @@ def delta_window_sums(
     radius: jnp.ndarray,         # traced int32 scalar in [MIN_SEARCH_RADIUS, 16]
     delta_scalar: jnp.ndarray,   # traced int32 scalar
     neighbor_scalar: jnp.ndarray,  # traced int32 scalar
+    layer_offset: jnp.ndarray | int = 0,  # traced: first global layer of this shard
     *,
     window_size: int,
     res_scalar: int,
     iteration: int,
     step: int,
     is_hdr: bool,
+    num_layers: int = MAX_R,
 ) -> jnp.ndarray:
-    """Compact cost-volume window sums, shape (MAX_R, n_win_y, n_win_x) uint32.
-    Layers >= radius are UINT32_MAX."""
+    """Compact cost-volume window sums, shape (num_layers, n_win_y, n_win_x) uint32.
+    Global layers >= radius are UINT32_MAX.
+
+    num_layers/layer_offset shard the candidate (search-layer) dimension across
+    devices: shard d computes global layers [offset, offset + num_layers)."""
     dim_y, dim_x = f1y.shape
     uv_h, uv_w = f1uv.shape
     low_h, low_w = offsets.shape[1:]
-    L = MAX_R
+    L = num_layers
 
     cx = jnp.arange(low_w, dtype=jnp.int32)[None, None, :]
     cy = jnp.arange(low_h, dtype=jnp.int32)[None, :, None]
-    lz = jnp.arange(L, dtype=jnp.int32)[:, None, None]
+    lz = jnp.arange(L, dtype=jnp.int32)[:, None, None] + jnp.asarray(layer_offset, jnp.int32)
     scaled_cx = cx << res_scalar
     scaled_cy = cy << res_scalar
 
@@ -165,9 +171,8 @@ def delta_window_sums(
     sums = padded.reshape(L, n_win_y, window_size, n_win_x, window_size).sum(
         axis=(2, 4), dtype=jnp.uint32
     )
-    # Mask padded layers so argmin never selects them.
-    layer_ids = jnp.arange(L, dtype=jnp.int32)[:, None, None]
-    return jnp.where(layer_ids < radius, sums, UINT32_MAX)
+    # Mask padded layers (global index >= radius) so argmin never selects them.
+    return jnp.where(lz < radius, sums, UINT32_MAX)
 
 
 def lowest_layer(sums: jnp.ndarray) -> jnp.ndarray:

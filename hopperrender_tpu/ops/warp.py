@@ -109,7 +109,9 @@ def _visualize_flow(offset_x, offset_y, curr_pixel, channel, res_impact: int, is
     return jnp.where(channel == 0, y_out, jnp.where(channel == 1, u_out, v_out))
 
 
-@functools.partial(jax.jit, static_argnames=("res_scalar", "mode", "cz", "is_hdr"))
+@functools.partial(
+    jax.jit, static_argnames=("res_scalar", "mode", "cz", "is_hdr", "out_rows")
+)
 def warp_frame_plane(
     src12_y: jnp.ndarray,
     src12_uv: jnp.ndarray,
@@ -119,17 +121,23 @@ def warp_frame_plane(
     frame_scalar12: jnp.ndarray,  # traced f32 = blending scalar t
     black_level: jnp.ndarray,     # traced f32 (HDR caller pre-scales x256)
     white_level: jnp.ndarray,     # traced f32
+    row_offset: jnp.ndarray | int = 0,  # traced: absolute row of this shard's first row
     *,
     res_scalar: int,
     mode: int,
     cz: int,
     is_hdr: bool,
+    out_rows: int | None = None,  # rows this shard produces (None = full plane)
 ) -> jnp.ndarray:
     """One plane (cz=0: Y (H,W); cz=1: interleaved UV (H/2,W)) of the warp kernel
-    (ref: warpFrameKernelSDR.h:116-184)."""
+    (ref: warpFrameKernelSDR.h:116-184).
+
+    out_rows/row_offset shard the OUTPUT rows across devices (spatial parallelism):
+    sources stay whole (replicated); each shard computes rows
+    [row_offset, row_offset + out_rows) in absolute plane coordinates."""
     dim_y, dim_x = src12_y.shape
     low_h, low_w = flow.shape[1:]
-    out_h = dim_y >> cz
+    out_h = out_rows if out_rows is not None else (dim_y >> cz)
     dtype = jnp.uint16 if is_hdr else jnp.uint8
     src12 = src12_y if cz == 0 else src12_uv
     src21 = src21_y if cz == 0 else src21_uv
@@ -139,7 +147,9 @@ def warp_frame_plane(
     fs21 = (F32(1.0) - fs12).astype(F32)
 
     cx = jax.lax.broadcasted_iota(jnp.int32, (out_h, dim_x), 1)
-    cy = jax.lax.broadcasted_iota(jnp.int32, (out_h, dim_x), 0)
+    cy = jax.lax.broadcasted_iota(jnp.int32, (out_h, dim_x), 0) + jnp.asarray(
+        row_offset, jnp.int32
+    )
     adj_cx, adj_cy = cx, cy
 
     done = jnp.zeros((out_h, dim_x), dtype=bool)

@@ -1,0 +1,161 @@
+"""Multi-chip sharding of the interpolation step over a jax.sharding.Mesh.
+
+The reference is strictly single-GPU (SURVEY.md §2.6); its parallelism inventory is
+SIMT pixels + candidate layers + a 1-pair pipeline. The TPU-native scale-out maps
+those axes onto a 2-D device mesh:
+
+  * "dp" — data parallelism over independent video STREAMS (a production frame
+    server interpolates many streams concurrently; each stream's state is
+    device-local, no cross-stream traffic).
+  * "sp" — within-stream parallelism:
+      - flow calculation shards the SEARCH-LAYER axis of the cost volume (the
+        reference's 3rd grid dimension, ref: opticalFlowCalcSDR.cpp:46): each device
+        evaluates MAX_R/n candidate layers, then an all-gather of the COMPACT window
+        sums (a few KB — rides ICI) lets every device compute the identical
+        argmin/adjust, keeping the offset array replicated with no further traffic.
+      - warping shards OUTPUT ROWS: sources are replicated (a 4K P010 frame is
+        ~24 MB — cheap next to HBM), each device gathers its row band.
+
+Only the per-step window-sum all-gathers cross chips; frames move host->HBM once.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from hopperrender_tpu.ops import flow as flow_ops
+from hopperrender_tpu.ops import warp as warp_ops
+
+MAX_R = flow_ops.MAX_R
+
+
+def pyramid_flow_sharded(
+    f1y, f1uv, f2y, f2uv, radius, delta_scalar, neighbor_scalar,
+    *, low_h: int, low_w: int, res_scalar: int, is_hdr: bool, axis_name: str,
+    num_shards: int,
+):
+    """Layer-sharded pyramid loop (ref driver: opticalFlowCalcSDR.cpp:44-123).
+    Call inside shard_map; returns replicated (offsets, blurred, total_delta_raw)."""
+    assert MAX_R % num_shards == 0, "search layers must divide evenly across shards"
+    layers_local = MAX_R // num_shards
+    shard = jax.lax.axis_index(axis_name)
+    layer_offset = shard * layers_local
+
+    offsets = jnp.zeros((2, low_h, low_w), dtype=jnp.int16)
+    total_delta_raw = jnp.uint32(0)
+
+    for iteration, window in flow_ops.window_schedule(low_h, low_w):
+        for step in (0, 1):
+            sums_local = flow_ops.delta_window_sums(
+                f1y, f1uv, f2y, f2uv, offsets, radius, delta_scalar, neighbor_scalar,
+                layer_offset,
+                window_size=window, res_scalar=res_scalar, iteration=iteration,
+                step=step, is_hdr=is_hdr, num_layers=layers_local,
+            )
+            # Tiny compact sums ride ICI; every device then holds the full volume.
+            sums = jax.lax.all_gather(sums_local, axis_name, axis=0, tiled=True)
+            if iteration == 0 and step == 0:
+                total_delta_raw = jax.lax.dynamic_index_in_dim(
+                    sums[:, 0, 0], radius // 2 - 1, keepdims=False
+                )
+            winners = flow_ops.lowest_layer(sums)
+            offsets = flow_ops.adjust_offsets(
+                offsets, winners, radius, window_size=window, step=step
+            )
+
+    blurred = flow_ops.blur_flow(offsets)
+    return offsets, blurred, total_delta_raw
+
+
+def warp_frame_sharded(
+    src12_y, src12_uv, src21_y, src21_uv, flow, blending_scalar, black, white,
+    *, res_scalar: int, mode: int, is_hdr: bool, axis_name: str, num_shards: int,
+):
+    """Row-sharded warp: this shard's band of Y and UV rows
+    (ref launch split: opticalFlowCalcSDR.cpp:152-167)."""
+    dim_y = src12_y.shape[0]
+    assert dim_y % (2 * num_shards) == 0, "frame rows must split evenly (Y and UV)"
+    rows_y = dim_y // num_shards
+    rows_uv = (dim_y // 2) // num_shards
+    shard = jax.lax.axis_index(axis_name)
+    t = jnp.asarray(blending_scalar, jnp.float32)
+    black = jnp.asarray(black, jnp.float32)
+    white = jnp.asarray(white, jnp.float32)
+    y = warp_ops.warp_frame_plane(
+        src12_y, src12_uv, src21_y, src21_uv, flow, t, black, white,
+        shard * rows_y,
+        res_scalar=res_scalar, mode=mode, cz=0, is_hdr=is_hdr, out_rows=rows_y,
+    )
+    uv = warp_ops.warp_frame_plane(
+        src12_y, src12_uv, src21_y, src21_uv, flow, t, black, white,
+        shard * rows_uv,
+        res_scalar=res_scalar, mode=mode, cz=1, is_hdr=is_hdr, out_rows=rows_uv,
+    )
+    return y, uv
+
+
+def make_multichip_step(
+    mesh: Mesh,
+    frame_height: int,
+    frame_width: int,
+    *,
+    low_h: int,
+    low_w: int,
+    res_scalar: int,
+    is_hdr: bool = False,
+    mode: int = 2,
+):
+    """Build the jitted multi-chip interpolation step.
+
+    Takes a batch of streams (leading axis sharded over "dp"); within each stream the
+    flow layers and warp rows shard over "sp". Inputs per stream: the 3-frame ring
+    (f0=N-2, f1=N-1, f2=N) and the previous pair's blurred flow (the 1-pair pipeline,
+    SURVEY.md §2.2). Returns (out_y, out_uv, new_blurred_flow, total_delta_raw).
+    """
+    n_sp = mesh.shape["sp"]
+
+    def per_stream(f0y, f0uv, f1y, f1uv, f2y, f2uv, flow_prev, radius, dscalar,
+                   nscalar, t, black, white):
+        _, blurred, delta_raw = pyramid_flow_sharded(
+            f1y, f1uv, f2y, f2uv, radius, dscalar, nscalar,
+            low_h=low_h, low_w=low_w, res_scalar=res_scalar, is_hdr=is_hdr,
+            axis_name="sp", num_shards=n_sp,
+        )
+        out_y, out_uv = warp_frame_sharded(
+            f0y, f0uv, f1y, f1uv, flow_prev, t, black, white,
+            res_scalar=res_scalar, mode=mode, is_hdr=is_hdr,
+            axis_name="sp", num_shards=n_sp,
+        )
+        return out_y, out_uv, blurred, delta_raw
+
+    def shard_body(f0y, f0uv, f1y, f1uv, f2y, f2uv, flow_prev, radius, dscalar,
+                   nscalar, t, black, white):
+        fn = jax.vmap(
+            per_stream,
+            in_axes=(0, 0, 0, 0, 0, 0, 0, None, None, None, None, None, None),
+        )
+        return fn(f0y, f0uv, f1y, f1uv, f2y, f2uv, flow_prev, radius, dscalar,
+                  nscalar, t, black, white)
+
+    frame_spec = P("dp", None, None)
+    flow_spec = P("dp", None, None, None)
+    scalar_spec = P()
+    out_specs = (
+        P("dp", "sp", None),   # out_y rows sharded
+        P("dp", "sp", None),   # out_uv rows sharded
+        flow_spec,             # blurred flow replicated within sp
+        P("dp"),               # per-stream delta
+    )
+
+    sharded = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(frame_spec,) * 6 + (flow_spec,) + (scalar_spec,) * 6,
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    return jax.jit(sharded)
