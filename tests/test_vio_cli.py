@@ -1,0 +1,113 @@
+"""Video IO (raw, y4m) roundtrips and the offline CLI end-to-end."""
+
+import json
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from hopperrender_tpu.vio import nv12, video
+
+
+def _write_raw_stream(path, frames, is_hdr=False):
+    with open(path, "wb") as f:
+        for y, uv in frames:
+            f.write(nv12.pack(y, uv).tobytes())
+
+
+@pytest.mark.parametrize("is_hdr", [False, True])
+def test_raw_roundtrip(tmp_path, rng, is_hdr):
+    frames = [nv12.synthetic_frame(rng, 16, 32, is_hdr=is_hdr, motion_x=i) for i in range(3)]
+    p = tmp_path / ("s.p010" if is_hdr else "s.nv12")
+    _write_raw_stream(p, frames, is_hdr)
+    reader = video.RawReader(str(p), 32, 16, is_hdr=is_hdr)
+    got = list(reader)
+    assert len(got) == 3
+    for (gy, guv), (y, uv) in zip(got, frames):
+        np.testing.assert_array_equal(gy, y)
+        np.testing.assert_array_equal(guv, uv)
+
+
+@pytest.mark.parametrize("is_hdr", [False, True])
+def test_y4m_roundtrip(tmp_path, rng, is_hdr):
+    h, w = 16, 32
+    frames = [nv12.synthetic_frame(rng, h, w, is_hdr=is_hdr, motion_x=i) for i in range(2)]
+    p = tmp_path / "s.y4m"
+    wr = video.Y4MWriter(str(p), w, h, 24.0, is_hdr=is_hdr)
+    for y, uv in frames:
+        wr.write(y, uv)
+    wr.close()
+    rd = video.Y4MReader(str(p))
+    assert (rd.width, rd.height) == (w, h)
+    assert rd.fps == pytest.approx(24.0)
+    assert rd.is_hdr == is_hdr
+    got = list(rd)
+    assert len(got) == 2
+    for (gy, guv), (y, uv) in zip(got, frames):
+        if is_hdr:
+            # P010 keeps 10 significant bits (MSB-aligned); y4m stores them exactly.
+            np.testing.assert_array_equal(gy, y & np.uint16(0xFFC0))
+            np.testing.assert_array_equal(guv, uv & np.uint16(0xFFC0))
+        else:
+            np.testing.assert_array_equal(gy, y)
+            np.testing.assert_array_equal(guv, uv)
+
+
+def test_ffmpeg_gated():
+    if not video.have_ffmpeg():
+        with pytest.raises(RuntimeError, match="ffmpeg not found"):
+            video.FfmpegReader("x.mp4")
+
+
+def _run_cli(*argv):
+    return subprocess.run(
+        [sys.executable, "-m", "hopperrender_tpu", *argv],
+        capture_output=True, text=True, timeout=600,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+    )
+
+
+def test_cli_interpolate_raw_to_y4m(tmp_path, rng):
+    h, w = 16, 32
+    frames = [nv12.synthetic_frame(rng, h, w, motion_x=i) for i in range(6)]
+    src = tmp_path / "in.nv12"
+    dst = tmp_path / "out.y4m"
+    _write_raw_stream(src, frames)
+    r = _run_cli("interpolate", str(src), str(dst), "--width", "32", "--height", "16",
+                 "--fps", "24", "--target-fps", "60", "--stats")
+    assert r.returncode == 0, r.stderr
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["frames_in"] == 6
+    # 24->60 with 2-frame warmup: roughly 2.5x outputs
+    assert stats["frames_out"] >= 10
+    rd = video.Y4MReader(str(dst))
+    outs = list(rd)
+    assert len(outs) == stats["frames_out"]
+    assert rd.fps == pytest.approx(60.0)
+
+
+def test_cli_probe(tmp_path, rng):
+    h, w = 16, 32
+    src = tmp_path / "in.nv12"
+    _write_raw_stream(src, [nv12.synthetic_frame(rng, h, w)])
+    r = _run_cli("probe", str(src), "--width", "32", "--height", "16", "--fps", "24")
+    assert r.returncode == 0, r.stderr
+    info = json.loads(r.stdout)
+    assert info["width"] == 32 and info["realtime_budget_ms"] == pytest.approx(41.667)
+
+
+def test_cli_settings_roundtrip(tmp_path):
+    f = tmp_path / "settings.json"
+    r = _run_cli("settings", "--file", str(f), "--set", "target_fps=120",
+                 "--set", "delta_scalar=5", "--set", "activated=false")
+    assert r.returncode == 0, r.stderr
+    data = json.loads(r.stdout)
+    assert data["target_fps"] == 120.0 and data["delta_scalar"] == 5
+    assert data["activated"] is False
+    # Reload shows persistence.
+    r2 = _run_cli("settings", "--file", str(f))
+    assert json.loads(r2.stdout)["delta_scalar"] == 5
+    # Out-of-range rejected.
+    r3 = _run_cli("settings", "--file", str(f), "--set", "delta_scalar=99")
+    assert r3.returncode != 0
