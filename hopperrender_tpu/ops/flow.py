@@ -201,10 +201,20 @@ def adjust_offsets(
     return offsets.at[plane].set(offsets[plane] + adj_full)
 
 
-@jax.jit
-def blur_flow(offsets: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("backend",))
+def blur_flow(offsets: jnp.ndarray, backend: str = "auto") -> jnp.ndarray:
     """8x8 box blur, window [-4, 4), mirrored borders, truncating division by 64
-    (ref: blurFlowKernelSDR.h:3-4,79-91). offsets: (2, low_h, low_w) int16."""
+    (ref: blurFlowKernelSDR.h:3-4,79-91). offsets: (2, low_h, low_w) int16.
+
+    backend: "pallas" (fused single-pass VMEM kernel), "xla" (prefix sums), or
+    "auto" (pallas on TPU, xla elsewhere). Both are bit-exact."""
+    if backend == "auto":
+        # axon = the tunneled TPU platform; anything else (cpu tests, gpu) uses XLA.
+        backend = "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
+    if backend == "pallas":
+        from hopperrender_tpu.ops import pallas_kernels
+
+        return pallas_kernels.blur_flow_pallas(offsets)
     radius = 4
     _, low_h, low_w = offsets.shape
     padded = jnp.pad(
