@@ -1,0 +1,82 @@
+"""Display refresh-rate probe (Linux).
+
+Equivalent of the reference's Win32 QueryDisplayConfig probe that tracks the refresh
+rate of the monitor the player window is on, re-polled every 5 s
+(ref: HopperRender.cpp:246-345, 793-800). On Linux the sources are, in order:
+
+  1. xrandr (current mode of the primary/active output), when a display server runs,
+  2. /sys/class/drm/<conn>/modes + the drm mode line (headless boxes expose nothing),
+  3. None — the caller falls back to the user-set target fps
+     (ref behavior: fall back to TargetFPS when display probing fails).
+
+A DisplayRatePoller re-probes on a 5 s cadence like the reference.
+"""
+
+from __future__ import annotations
+
+import re
+import shutil
+import subprocess
+import time
+
+
+def _probe_xrandr() -> float | None:
+    if shutil.which("xrandr") is None:
+        return None
+    try:
+        out = subprocess.run(["xrandr", "--current"], capture_output=True, text=True,
+                             timeout=5).stdout
+    except (subprocess.SubprocessError, OSError):
+        return None
+    # The active mode carries '*' after its refresh rate, e.g. "  1920x1080 143.98*+"
+    m = re.search(r"(\d+(?:\.\d+)?)\*", out)
+    return float(m.group(1)) if m else None
+
+
+def _probe_drm() -> float | None:
+    """Parse the first connected DRM connector's current mode clock if exposed."""
+    import glob
+    import os
+
+    for status_path in sorted(glob.glob("/sys/class/drm/card*-*/status")):
+        try:
+            with open(status_path) as f:
+                if f.read().strip() != "connected":
+                    continue
+        except OSError:
+            continue
+        mode_path = os.path.join(os.path.dirname(status_path), "modes")
+        try:
+            with open(mode_path) as f:
+                first = f.readline().strip()
+        except OSError:
+            continue
+        # modes lines are like "1920x1080"; refresh needs the edid/mode DB —
+        # assume 60 when only the geometry is known.
+        if first:
+            return 60.0
+    return None
+
+
+def probe_display_refresh_rate() -> float | None:
+    """Best-effort current display refresh rate; None when headless."""
+    return _probe_xrandr() or _probe_drm()
+
+
+class DisplayRatePoller:
+    """Re-probe every `interval` seconds (ref: 5 s poll, HopperRender.cpp:793-800)."""
+
+    def __init__(self, interval: float = 5.0, *, probe=probe_display_refresh_rate):
+        self.interval = interval
+        self._probe = probe
+        self._last_poll = 0.0
+        self.rate: float | None = None
+
+    def poll(self, now: float | None = None) -> float | None:
+        """Returns the fresh rate when a (re-)probe happened, else None."""
+        now = time.monotonic() if now is None else now
+        if now - self._last_poll < self.interval and self._last_poll != 0.0:
+            return None
+        self._last_poll = now
+        self.rate = self._probe()
+        return self.rate

@@ -1,0 +1,93 @@
+"""Display-rate poller and the HTTP status/control endpoint."""
+
+import json
+import urllib.request
+
+import pytest
+
+from hopperrender_tpu.config import Settings
+from hopperrender_tpu.server.display import DisplayRatePoller, probe_display_refresh_rate
+from hopperrender_tpu.server.frame_server import FrameServer
+from hopperrender_tpu.server.status_http import StatusServer
+from hopperrender_tpu.vio import nv12
+
+
+def test_probe_returns_float_or_none():
+    rate = probe_display_refresh_rate()
+    assert rate is None or rate > 0  # headless CI: None
+
+
+def test_poller_5s_cadence():
+    calls = []
+
+    def fake_probe():
+        calls.append(1)
+        return 120.0
+
+    p = DisplayRatePoller(interval=5.0, probe=fake_probe)
+    assert p.poll(now=100.0) == 120.0
+    assert p.poll(now=102.0) is None   # within the window -> no re-probe
+    assert p.poll(now=105.1) == 120.0  # window elapsed
+    assert len(calls) == 2
+
+
+@pytest.fixture
+def http_server(rng):
+    srv = FrameServer(48, 32, source_fps=24.0,
+                      settings=Settings(target_fps=60.0, use_display_fps=False))
+    for i in range(4):
+        y, uv = nv12.synthetic_frame(rng, 32, 48, motion_x=i)
+        srv.push_frame(y, uv)
+    status = StatusServer(srv)
+    yield srv, status
+    status.close()
+
+
+def _get(status, path):
+    with urllib.request.urlopen(f"http://{status.host}:{status.port}{path}") as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(status, path, payload):
+    req = urllib.request.Request(
+        f"http://{status.host}:{status.port}{path}",
+        data=json.dumps(payload).encode(), method="POST",
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_metrics_endpoint(http_server):
+    srv, status = http_server
+    code, m = _get(status, "/metrics")
+    assert code == 200
+    assert m["dim_x"] == 48 and m["active_state"] == 2
+    assert m["ofc_calc_time"] > 0
+
+
+def test_settings_get_and_live_post(http_server):
+    srv, status = http_server
+    code, s = _get(status, "/settings")
+    assert code == 200 and s["target_fps"] == 60.0
+    code, s2 = _post(status, "/settings", {"target_fps": 120.0, "delta_scalar": 4})
+    assert code == 200 and s2["target_fps"] == 120.0
+    assert srv.engine.delta_scalar == 4  # applied live to the engine
+
+    code, err = _post(status, "/settings", {"bogus": 1})
+    assert code == 400 and "bogus" in err["error"]
+    code, err = _post(status, "/settings", {"delta_scalar": 99})
+    assert code == 400  # validation range
+
+    code, _ = _get(status, "/healthz")
+    assert code == 200
+
+
+def test_unknown_path(http_server):
+    _, status = http_server
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(status, "/nope")
+    assert ei.value.code == 404
