@@ -1,9 +1,15 @@
 """Headline benchmark: 4K HDR P010 24->60 fps interpolation on one TPU chip.
 
 Measures steady-state per-source-frame device cost = one pyramidal optical-flow
-calculation + 2.5 warps (60/24 outputs per source frame), matching the reference's
-real-time constraint "flow time + warp time < 1/source fps" (BASELINE.md; ref:
-README.md:81, HopperRender.cpp:1438-1463).
+calculation + (target/source) warps, matching the reference's real-time constraint
+"flow time + warp time < 1/source fps" (BASELINE.md; ref: README.md:81).
+
+Timing methodology (IMPORTANT): on the tunneled axon platform, block_until_ready()
+returns at dispatch, not completion — execution is only forced by a device->host
+transfer. Each op is therefore timed by the SLOPE method: k data-dependent copies are
+chained inside ONE jitted program whose 4-byte result is fetched; cost = (t(k2) -
+t(k1)) / (k2 - k1). This subtracts all tunnel/dispatch/transfer overheads and measures
+pure device time.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where vs_baseline is
 the real-time budget ratio (1/24 s divided by the measured per-source-frame latency;
@@ -11,15 +17,17 @@ the real-time budget ratio (1/24 s divided by the measured per-source-frame late
 
 Flags:
   --config {4k-hdr,4k-sdr,1080p-sdr,480p-sdr}   (default 4k-hdr)
-  --frames N        steady-state source frames to measure (default 24)
+  --radius R        search radius (default 16 = worst case; auto-scaler range 5-16)
+  --streams B       lockstep multi-stream batch (default 1)
+  --k1/--k2         chain lengths for the slope (default 1 and 4)
   --json-only       suppress the human-readable breakdown on stderr
 """
 
 from __future__ import annotations
 
 import argparse
+import functools
 import json
-import statistics
 import sys
 import time
 
@@ -36,64 +44,110 @@ CONFIGS = {
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="4k-hdr", choices=sorted(CONFIGS))
-    ap.add_argument("--frames", type=int, default=24)
+    ap.add_argument("--radius", type=int, default=16)
+    ap.add_argument("--streams", type=int, default=1)
+    ap.add_argument("--k1", type=int, default=1)
+    ap.add_argument("--k2", type=int, default=4)
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
     cfg = CONFIGS[args.config]
 
     import jax
+    import jax.numpy as jnp
 
-    from hopperrender_tpu.engine.flow_engine import OpticalFlowEngine
+    from hopperrender_tpu import config as hcfg
+    from hopperrender_tpu.ops import flow as flow_ops
+    from hopperrender_tpu.ops import warp as warp_ops
     from hopperrender_tpu.vio import nv12
 
     w, h, is_hdr = cfg["w"], cfg["h"], cfg["is_hdr"]
-    source_fps, target_fps = cfg["source_fps"], cfg["target_fps"]
-    outputs_per_source = target_fps / source_fps
-
-    eng = OpticalFlowEngine(h, w, is_hdr=is_hdr)
+    B = args.streams
+    rs, low_h, low_w = hcfg.calc_flow_dims(h, w, hcfg.MAX_CALC_RES)
+    outputs_per_source = cfg["target_fps"] / cfg["source_fps"]
     rng = np.random.default_rng(0)
-    frames = [nv12.synthetic_frame(rng, h, w, is_hdr=is_hdr, motion_x=i * 2) for i in range(4)]
 
-    # Warmup: fill the ring, trigger all compilations (flow + warp + copy).
-    for y, uv in frames[:3]:
-        eng.update_frame(y, uv)
-    eng.calculate_optical_flow()
-    eng.warp_frames(0.5, 2)
-    eng.copy_frame()
+    def make_batch(shift):
+        ys, uvs = [], []
+        for b in range(B):
+            y, uv = nv12.synthetic_frame(rng, h, w, is_hdr=is_hdr, motion_x=shift + b)
+            ys.append(y)
+            uvs.append(uv)
+        return (jax.device_put(jnp.asarray(np.stack(ys))),
+                jax.device_put(jnp.asarray(np.stack(uvs))))
 
-    flow_ms, warp_ms = [], []
-    n_outputs = int(round(outputs_per_source * 2))  # measure 2 source frames' worth
-    for i in range(args.frames):
-        y, uv = frames[3 - (i % 2)]
-        eng.update_frame(y, uv)
-        t0 = time.perf_counter()
-        eng.calculate_optical_flow()  # includes block_until_ready
-        flow_ms.append((time.perf_counter() - t0) * 1e3)
-        blend = 0.0
-        t0 = time.perf_counter()
-        for k in range(n_outputs):
-            blend = (blend + 1.0 / outputs_per_source) % 1.0
-            eng.warp_frames(blend, 2)
-        warp_ms.append((time.perf_counter() - t0) * 1e3 / n_outputs)
+    f1y, f1uv = make_batch(0)
+    f2y, f2uv = make_batch(2)
+    flow_prev = jnp.zeros((B, 2, low_h, low_w), jnp.int16)
+    salt_dtype = jnp.uint16 if is_hdr else jnp.uint8
+    white = 65280.0 if is_hdr else 255.0
+    radius = jnp.int32(args.radius)
 
-    flow = statistics.median(flow_ms)
-    warp = statistics.median(warp_ms)
-    per_source_ms = flow + outputs_per_source * warp
-    budget_ms = 1e3 / source_fps
+    def one_flow(y1, uv1, y2, uv2):
+        _, blurred, raw = flow_ops.pyramid_flow(
+            y1, uv1, y2, uv2, radius, jnp.int32(8), jnp.int32(6),
+            low_h=low_h, low_w=low_w, res_scalar=rs, is_hdr=is_hdr)
+        return blurred, raw
+
+    def one_warp(y1, uv1, y2, uv2, fl, t):
+        oy, ouv = warp_ops.warp_frame(
+            y1, uv1, y2, uv2, fl, t, jnp.float32(0.0), jnp.float32(white),
+            res_scalar=rs, mode=2, is_hdr=is_hdr)
+        return oy, ouv
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def flow_chain(k: int):
+        acc = jnp.uint32(0)
+        for _ in range(k):
+            y1 = f1y + (acc % 2).astype(salt_dtype)  # serialize the chain
+            bl, raw = jax.vmap(lambda a, b, c, d: one_flow(a, b, c, d))(
+                y1, f1uv, f2y, f2uv)
+            acc = acc + jnp.sum(raw) + jnp.sum(bl[:, 0, 0, 0].astype(jnp.uint32))
+        return acc
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def warp_chain(k: int):
+        acc = jnp.uint32(0)
+        for i in range(k):
+            y1 = f1y + (acc % 2).astype(salt_dtype)
+            t = jnp.float32(0.1 + 0.8 * (i % 3) / 3.0)
+            oy, ouv = jax.vmap(lambda a, b, c, d, fl: one_warp(a, b, c, d, fl, t))(
+                y1, f1uv, f2y, f2uv, flow_prev)
+            acc = acc + jnp.sum(oy[:, 0, :8].astype(jnp.uint32)) + jnp.sum(
+                ouv[:, 0, :8].astype(jnp.uint32))
+        return acc
+
+    def slope_ms(chain, k1, k2, reps=3):
+        times = {}
+        for k in (k1, k2):
+            int(chain(k))  # compile + warm
+            best = float("inf")
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                int(chain(k))
+                best = min(best, time.perf_counter() - t0)
+            times[k] = best
+        return (times[k2] - times[k1]) / (k2 - k1) * 1e3
+
+    flow_ms = slope_ms(flow_chain, args.k1, args.k2)
+    warp_ms = slope_ms(warp_chain, args.k1, args.k2)
+
+    per_source_ms = (flow_ms + outputs_per_source * warp_ms) / B
+    budget_ms = 1e3 / cfg["source_fps"]
+    suffix = f"_x{B}streams" if B > 1 else ""
     result = {
-        "metric": f"{args.config}_flow_plus_warp_per_source_frame",
+        "metric": f"{args.config}{suffix}_flow_plus_warp_per_source_frame",
         "value": round(per_source_ms, 3),
         "unit": "ms",
         "vs_baseline": round(budget_ms / per_source_ms, 3),
     }
     if not args.json_only:
         print(
-            f"[{args.config}] {w}x{h} {'HDR' if is_hdr else 'SDR'} "
-            f"{source_fps:.0f}->{target_fps:.0f} fps on {jax.devices()[0]}\n"
-            f"  flow calc:  {flow:8.3f} ms  (min {min(flow_ms):.3f}, max {max(flow_ms):.3f})\n"
-            f"  warp:       {warp:8.3f} ms per output frame\n"
-            f"  per source: {per_source_ms:8.3f} ms  (budget {budget_ms:.3f} ms, "
-            f"{budget_ms / per_source_ms:.2f}x realtime)",
+            f"[{args.config} x{B}] {w}x{h} {'HDR' if is_hdr else 'SDR'} radius "
+            f"{args.radius} on {jax.devices()[0]} (slope k={args.k1}->{args.k2})\n"
+            f"  flow calc:  {flow_ms:8.3f} ms per batch step\n"
+            f"  warp:       {warp_ms:8.3f} ms per batch output frame\n"
+            f"  per source: {per_source_ms:8.3f} ms/stream "
+            f"(budget {budget_ms:.3f} ms, {budget_ms / per_source_ms:.2f}x realtime)",
             file=sys.stderr,
         )
     print(json.dumps(result))

@@ -123,12 +123,16 @@ class OpticalFlowEngine:
     def calculate_optical_flow(self) -> None:
         """Compute flow for the newest pair (slots 1,2); swap the flow double buffer
         so warping uses the previous pair's flow (ref: opticalFlowCalcSDR.cpp:44-139)."""
+        # Bucket the static cost-volume depth to the current radius so the auto
+        # scaler's low end (radius <= 8) does half the gather work; at most two
+        # cached compilations per resolution.
+        num_layers = 8 if self.search_radius <= 8 else flow_ops.MAX_R
         _, blurred, delta_raw = flow_ops.pyramid_flow(
             self._frames_y[1], self._frames_uv[1], self._frames_y[2], self._frames_uv[2],
             jnp.int32(self.search_radius), jnp.int32(self.delta_scalar),
             jnp.int32(self.neighbor_scalar),
             low_h=self.low_h, low_w=self.low_w, res_scalar=self.res_scalar,
-            is_hdr=self.is_hdr,
+            is_hdr=self.is_hdr, num_layers=num_layers,
         )
         self._blurred = [self._blurred[1], blurred]
         self._pending_delta_raw = delta_raw

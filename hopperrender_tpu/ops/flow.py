@@ -243,7 +243,9 @@ def window_schedule(low_h: int, low_w: int, num_iterations: int = 0) -> list[tup
 
 
 @functools.partial(
-    jax.jit, static_argnames=("low_h", "low_w", "res_scalar", "is_hdr", "num_iterations")
+    jax.jit,
+    static_argnames=("low_h", "low_w", "res_scalar", "is_hdr", "num_iterations",
+                     "num_layers"),
 )
 def pyramid_flow(
     f1y: jnp.ndarray,
@@ -259,12 +261,18 @@ def pyramid_flow(
     res_scalar: int,
     is_hdr: bool,
     num_iterations: int = 0,
+    num_layers: int = MAX_R,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full pyramid loop (ref: opticalFlowCalcSDR.cpp:44-123).
 
     Returns (offsets, blurred_offsets, total_delta_raw) where total_delta_raw is the
     UN-normalized uint32 window-(0,0) sum of layer radius/2-1 at iteration 0 step 0
     (the host divides by low_h*low_w*{10,6}, ref: opticalFlowCalcSDR.cpp:91-94).
+
+    num_layers statically bounds the cost volume: the caller may bucket it to the
+    current search radius (e.g. 8 when radius <= 8) so the auto quality scaler's low
+    end does half the gather work; radius stays a traced scalar within a bucket.
+    Requires radius <= num_layers. (total_delta index radius//2-1 <= 7 < any bucket.)
     """
     offsets = jnp.zeros((2, low_h, low_w), dtype=jnp.int16)
     total_delta_raw = jnp.uint32(0)
@@ -274,7 +282,7 @@ def pyramid_flow(
             sums = delta_window_sums(
                 f1y, f1uv, f2y, f2uv, offsets, radius, delta_scalar, neighbor_scalar,
                 window_size=window, res_scalar=res_scalar, iteration=iteration,
-                step=step, is_hdr=is_hdr,
+                step=step, is_hdr=is_hdr, num_layers=num_layers,
             )
             if iteration == 0 and step == 0:
                 total_delta_raw = jax.lax.dynamic_index_in_dim(

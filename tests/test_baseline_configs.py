@@ -1,0 +1,131 @@
+"""End-to-end coverage of the five BASELINE.json driver configs (geometry scaled for
+CPU; the control logic, kernel variants, and feature set are exactly those of each
+config):
+
+  1. 480p SDR, fixed 3-level pyramid, blended output, 24->60
+  2. 1080p SDR full pipeline: all output modes, flow blur, scene threshold
+  3. 4K SDR: reduced calc resolution + auto quality scaling under budget
+  4. 4K HDR P010: HDR kernels + black/white level correction, 24->120
+  5. Live-stream mode: buffer frames, VFR source-fps override, HSV/grey/side-by-side
+     visualization
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from hopperrender_tpu import config as cfg
+from hopperrender_tpu.config import ActiveState, Settings
+from hopperrender_tpu.ops import flow as flow_ops
+from hopperrender_tpu.ops import golden
+from hopperrender_tpu.server.frame_server import FrameServer
+from hopperrender_tpu.vio import nv12
+
+
+def run_stream(server, rng, n, h, w, is_hdr=False, pts_step=None):
+    outs = []
+    for i in range(n):
+        y, uv = nv12.synthetic_frame(rng, h, w, is_hdr=is_hdr, motion_x=i * 2)
+        pts = None if pts_step is None else i * pts_step
+        outs.extend(server.push_frame(y, uv, pts=pts))
+    return outs
+
+
+def test_config1_480p_fixed_pyramid(rng):
+    """Fixed 3-level pyramid = NUM_ITERATIONS=3 (ref: config.h:6 semantics)."""
+    h, w = 48, 86  # 480p aspect, scaled
+    f1y, f1uv = nv12.synthetic_frame(rng, h, w)
+    f2y, f2uv = nv12.synthetic_frame(rng, h, w, motion_x=3)
+    import jax.numpy as jnp
+
+    offsets, blurred, raw = flow_ops.pyramid_flow(
+        jnp.asarray(f1y), jnp.asarray(f1uv), jnp.asarray(f2y), jnp.asarray(f2uv),
+        jnp.int32(5), jnp.int32(8), jnp.int32(6),
+        low_h=h, low_w=w, res_scalar=0, num_iterations=3, is_hdr=False)
+    params = golden.FlowParams(search_radius=5, res_scalar=0, num_iterations=3)
+    g_off, g_blur, _ = golden.calculate_optical_flow(f1y, f1uv, f2y, f2uv, h, w, params)
+    np.testing.assert_array_equal(np.asarray(offsets), g_off)
+    np.testing.assert_array_equal(np.asarray(blurred), g_blur)
+    # 3 iterations only: schedule must have been truncated.
+    assert len(flow_ops.window_schedule(h, w, 3)) == 3
+
+
+@pytest.mark.parametrize("mode", [0, 1, 2, 3, 4, 5, 6])
+def test_config2_1080p_all_modes(rng, mode):
+    h, w = 54, 96  # 1080p aspect
+    srv = FrameServer(w, h, source_fps=24.0, settings=Settings(
+        target_fps=60.0, use_display_fps=False, frame_output=mode,
+        scene_change_threshold=500))
+    outs = run_stream(srv, rng, 5, h, w)
+    assert any(o.interpolated for o in outs)
+    assert outs[-1].y.shape == (h, w)
+
+
+def test_config3_4k_sdr_autoscale(rng):
+    """Reduced calc resolution + the auto scaler reacting to measured times."""
+    h, w = 128, 256
+    srv = FrameServer(w, h, source_fps=24.0, settings=Settings(
+        target_fps=60.0, use_display_fps=False, max_calc_res=32))
+    # (32 is the reference's registry floor for MaxCalcRes, README.md:83.)
+    outs = run_stream(srv, rng, 5, h, w)
+    eng = srv.engine
+    # Calc resolution reduced: res_scalar chosen so low_h <= 32.
+    assert eng.low_h <= 32 and eng.res_scalar == 2
+    # Auto scaler active: radius stays within bounds and reacts (CPU is fast ->
+    # radius should have grown from MIN).
+    assert cfg.MIN_SEARCH_RADIUS <= eng.search_radius <= cfg.MAX_SEARCH_RADIUS
+    assert eng.search_radius > cfg.MIN_SEARCH_RADIUS
+    assert any(o.interpolated for o in outs)
+
+
+def test_config4_4k_hdr_levels(rng):
+    """HDR kernel variants + level correction at 24->120."""
+    h, w = 64, 128
+    srv = FrameServer(w, h, source_fps=24.0, is_hdr=True, settings=Settings(
+        target_fps=120.0, use_display_fps=False, black_level=16, white_level=235))
+    outs = run_stream(srv, rng, 5, h, w, is_hdr=True)
+    assert outs[0].y.dtype == np.uint16
+    # 24->120: 5 outputs per source frame once warmed up.
+    per_source = [len(srv.push_frame(*nv12.synthetic_frame(rng, h, w, is_hdr=True,
+                                                           motion_x=40)))]
+    assert per_source[0] in (4, 5, 6)
+    # Levels must actually rescale: engine passes black/white x256 to HDR kernels.
+    assert srv.engine.black_level == 16.0 and srv.engine.white_level == 235.0
+
+
+def test_config5_live_stream_mode(rng):
+    """Buffer frames + VFR fps override + visualization modes live-switching."""
+    h, w = 32, 64
+    srv = FrameServer(w, h, source_fps=120.0, settings=Settings(
+        target_fps=60.0, use_display_fps=False, buffer_frames=3, frame_output=3))
+    # Sample timing claims 120 fps -> NotNeeded; the 'container' says 24 -> override.
+    assert srv.cadence.state == ActiveState.NOT_NEEDED
+    assert srv.cadence.maybe_override_source_fps(24.0)
+    assert srv.cadence.state == ActiveState.ACTIVE
+
+    outs = run_stream(srv, rng, 4, h, w)
+    # Buffer frames shift the first timestamp by 3 target frames beyond the 2-frame
+    # pipeline latency (ref: HopperRender.cpp:938-941).
+    expected = 2 * srv.cadence.source_frame_time + 3 * srv.cadence.target_frame_time
+    assert outs[0].start_time == expected
+
+    # Live visualization switching: HSV -> grey -> side-by-side without re-init.
+    engine_before = srv.engine
+    for mode in (4, 5, 6):
+        srv.update_settings(frame_output=mode)
+        outs = run_stream(srv, rng, 1, h, w)
+        assert outs and srv.engine is engine_before
+
+
+def test_timestamps_real_geometry_24_to_60():
+    """Frame-time math in 100ns ticks at the real 24->60 configuration."""
+    from hopperrender_tpu.server.control import CadenceController
+
+    c = CadenceController(24.0, 60.0)
+    assert c.source_frame_time == 416666
+    assert c.target_frame_time == 166666
+    n = c.begin_source_frame(0)
+    assert n == 3  # first frame: ceil(1/0.4)
+    t0 = c.next_output_timing()
+    assert t0.start_time == 2 * 416666

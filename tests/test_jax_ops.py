@@ -166,3 +166,20 @@ def test_pyramid_flow_no_rejit_on_radius_change(rng):
     jflow.pyramid_flow(*args, jnp.int32(6), jnp.int32(8), jnp.int32(6), **kw)
     jflow.pyramid_flow(*args, jnp.int32(16), jnp.int32(8), jnp.int32(6), **kw)
     assert jflow.pyramid_flow._cache_size() == before
+
+
+@pytest.mark.parametrize("radius", [5, 8])
+def test_pyramid_flow_bucketed_layers(rng, radius):
+    """num_layers=8 bucket must be bit-identical to the full 16-layer volume for
+    radius <= 8 (masked layers can never win the argmin)."""
+    h, w = 32, 48
+    f1y, f1uv = make_frame(rng, h, w)
+    f2y, f2uv = make_frame(rng, h, w)
+    args = (jnp.asarray(f1y), jnp.asarray(f1uv), jnp.asarray(f2y), jnp.asarray(f2uv),
+            jnp.int32(radius), jnp.int32(8), jnp.int32(6))
+    kw = dict(low_h=16, low_w=24, res_scalar=1, is_hdr=False)
+    off8, blur8, raw8 = jflow.pyramid_flow(*args, num_layers=8, **kw)
+    off16, blur16, raw16 = jflow.pyramid_flow(*args, num_layers=16, **kw)
+    np.testing.assert_array_equal(np.asarray(off8), np.asarray(off16))
+    np.testing.assert_array_equal(np.asarray(blur8), np.asarray(blur16))
+    assert int(raw8) == int(raw16)
