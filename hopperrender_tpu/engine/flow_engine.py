@@ -32,6 +32,7 @@ import numpy as np
 
 from hopperrender_tpu import config
 from hopperrender_tpu.ops import flow as flow_ops
+from hopperrender_tpu.ops import flow_strip
 from hopperrender_tpu.ops import warp as warp_ops
 
 
@@ -105,6 +106,13 @@ class OpticalFlowEngine:
         # blurred[0] = previous pair's flow (consumed by warp); blurred[1] = newest.
         self._blurred = [put(zero_flow), put(zero_flow)]
 
+        # Strip-mined flow path (PERF.md): needs res_scalar >= 1; contexts (mirror
+        # apron + transposed planes) are built once per ingested frame and ride the
+        # same ring as the frames.
+        self.use_strips = self.res_scalar >= 1
+        self._apron = flow_strip.apron_for(self.low_h, self.low_w)
+        self._ctxs = [None, None, None]
+
     # The underlying ops are module-level jits with static argnames, so engines with
     # the same (resolution, hdr) share one compilation — no per-instance traces.
 
@@ -117,6 +125,10 @@ class OpticalFlowEngine:
         uv_dev = jax.device_put(np.ascontiguousarray(uv, dtype=dtype), self._device)
         self._frames_y = [self._frames_y[1], self._frames_y[2], y_dev]
         self._frames_uv = [self._frames_uv[1], self._frames_uv[2], uv_dev]
+        if self.use_strips:
+            ctx = flow_strip.build_frame_context(
+                y_dev, uv_dev, apron=self._apron, is_hdr=self.is_hdr)
+            self._ctxs = [self._ctxs[1], self._ctxs[2], ctx]
         self.frame_count += 1
         self._ofc_start = time.perf_counter()
 
@@ -124,16 +136,25 @@ class OpticalFlowEngine:
         """Compute flow for the newest pair (slots 1,2); swap the flow double buffer
         so warping uses the previous pair's flow (ref: opticalFlowCalcSDR.cpp:44-139)."""
         # Bucket the static cost-volume depth to the current radius so the auto
-        # scaler's low end (radius <= 8) does half the gather work; at most two
-        # cached compilations per resolution.
+        # scaler's low end (radius <= 8) does half the work (and a 4x narrower
+        # strip span); at most two cached compilations per resolution.
         num_layers = 8 if self.search_radius <= 8 else flow_ops.MAX_R
-        _, blurred, delta_raw = flow_ops.pyramid_flow(
-            self._frames_y[1], self._frames_uv[1], self._frames_y[2], self._frames_uv[2],
-            jnp.int32(self.search_radius), jnp.int32(self.delta_scalar),
-            jnp.int32(self.neighbor_scalar),
-            low_h=self.low_h, low_w=self.low_w, res_scalar=self.res_scalar,
-            is_hdr=self.is_hdr, num_layers=num_layers,
-        )
+        scalars = (jnp.int32(self.search_radius), jnp.int32(self.delta_scalar),
+                   jnp.int32(self.neighbor_scalar))
+        if self.use_strips and self._ctxs[1] is not None:
+            _, blurred, delta_raw = flow_strip.pyramid_flow_strip(
+                self._ctxs[1], self._frames_y[2], self._frames_uv[2], *scalars,
+                low_h=self.low_h, low_w=self.low_w, res_scalar=self.res_scalar,
+                is_hdr=self.is_hdr, num_layers=num_layers, apron=self._apron,
+                dim_y=self.h, dim_x=self.w,
+            )
+        else:
+            _, blurred, delta_raw = flow_ops.pyramid_flow(
+                self._frames_y[1], self._frames_uv[1],
+                self._frames_y[2], self._frames_uv[2], *scalars,
+                low_h=self.low_h, low_w=self.low_w, res_scalar=self.res_scalar,
+                is_hdr=self.is_hdr, num_layers=num_layers,
+            )
         self._blurred = [self._blurred[1], blurred]
         self._pending_delta_raw = delta_raw
         # Timing: dispatch-to-done around the flow computation (event-profiling analogue).

@@ -1,0 +1,457 @@
+"""Strip-mined cost volume: the TPU-fast formulation of calcDeltaSums.
+
+Why: XLA TPU point-gathers run at ~96M indices/s regardless of locality (PERF.md),
+and the naive cost volume needs 16 layers x low_h x low_w x 3 samples ~ 6M indices
+per pyramid step. But gathers with a small contiguous trailing block (8-16 B) run at
+the SAME index rate — 8-16x the bytes per index.
+
+Key structural fact (SURVEY.md §2.3): within a search window both offset planes are
+window-constant at every pyramid step, so for one window-row all candidate samples of
+all layers lie in ONE contiguous byte strip of the (apron-padded) source frame:
+
+    pos(l, cx) = (cx << rs) + ideal + rel_l  ==  strip_base + static(cx) + dyn(l)
+
+The kernel therefore:
+  1. pads each source frame once with an exact mirror apron (the reference's
+     mirror-once-then-clamp rule, ref: calcDeltaSumsKernelSDR.h:86-95, becomes plain
+     in-bounds reads),
+  2. gathers per window-row segment a strip of NB G-byte blocks (one fast gather),
+  3. normalizes the per-row base%G remainder with a G-way dense select,
+  4. extracts each layer's samples with a dynamic slice + static stride (16 tiny
+     descriptors instead of millions),
+  5. feeds the reconstructed per-pixel samples into the same bias/window-sum logic
+     as the reference formulation (ops/flow.py) — bit-exact by construction.
+
+Step 0 (X-axis candidates) reads row strips; step 1 (Y-axis candidates) reads column
+strips from TRANSPOSED planes built once per frame. Chroma uses interleaved (u,v)
+pairs per element for row strips and split transposed U/V planes for column strips.
+
+The strip span is static per radius bucket (<=8: 26 px, <=16: 114 px — the span of
+the signed-square candidate offsets, ref: calcDeltaSumsKernelSDR.h:69-77), while the
+radius itself stays a traced scalar inside the bucket.
+
+Requires res_scalar >= 1 (chroma pair indexing); res_scalar == 0 inputs (<= 270p)
+keep the reference formulation in ops/flow.py, which is fast enough at that size.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hopperrender_tpu import config
+from hopperrender_tpu.ops import flow as flow_ops
+
+MAX_R = config.MAX_SEARCH_RADIUS
+UINT32_MAX = np.uint32(0xFFFFFFFF)
+
+
+def rel_span(num_layers: int) -> tuple[int, int]:
+    """(min_rel, span) of the signed-square candidate offsets for a radius bucket:
+    rel(l) = signed_square((l % r) - r//2); worst case r = num_layers."""
+    r = num_layers
+    lo = -((r // 2) ** 2)
+    hi = (r // 2 - 1) ** 2 if r >= 2 else 0
+    return lo, hi - lo + 1
+
+
+def apron_for(low_h: int, low_w: int) -> int:
+    """Static bound on |offset|: each iteration's adjust adds at most 64 per axis
+    step, plus 64 for the candidate being evaluated; round up to a multiple of 16."""
+    iters = config.num_pyramid_iterations(config.initial_window_size(low_h, low_w))
+    a = 64 * (iters + 1)
+    return -(-a // 16) * 16
+
+
+def _mirror_pad_1d_axis(x: jnp.ndarray, a: int, axis: int) -> jnp.ndarray:
+    """Pad axis by `a` on both sides with the reference's mirror-once-then-clamp rule
+    (ref: calcDeltaSumsKernelSDR.h:86-95): symmetric reflection for the first `dim`
+    padded elements, then the FAR edge value (the clamp catches the over-reflection).
+    """
+    dim = x.shape[axis]
+    sym = min(a, dim)
+    x2 = jnp.concatenate(
+        [jnp.flip(jax.lax.slice_in_dim(x, 0, sym, axis=axis), axis=axis), x,
+         jnp.flip(jax.lax.slice_in_dim(x, dim - sym, dim, axis=axis), axis=axis)],
+        axis=axis,
+    )
+    extra = a - sym
+    if extra > 0:
+        # Over-reflected positions clamp to the OPPOSITE edge (mirror maps them
+        # across the frame; clip then lands on that far edge).
+        far_lo = jax.lax.slice_in_dim(x, dim - 1, dim, axis=axis)
+        far_hi = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
+        reps_lo = jnp.concatenate([far_lo] * extra, axis=axis)
+        reps_hi = jnp.concatenate([far_hi] * extra, axis=axis)
+        x2 = jnp.concatenate([reps_lo, x2, reps_hi], axis=axis)
+    return x2
+
+
+def _pad_to_multiple(x: jnp.ndarray, axis: int, m: int) -> jnp.ndarray:
+    dim = x.shape[axis]
+    pad = (-dim) % m
+    if pad == 0:
+        return x
+    cfg = [(0, 0, 0)] * x.ndim
+    cfg[axis] = (0, pad, 0)
+    return jax.lax.pad(x, jnp.zeros((), x.dtype), cfg)
+
+
+@functools.partial(jax.jit, static_argnames=("apron", "is_hdr"))
+def build_frame_context(y: jnp.ndarray, uv: jnp.ndarray, *, apron: int, is_hdr: bool):
+    """Derived planes for strip gathering, built once per source frame:
+      pad_y    (Hp, Wp)      mirror-apron luma
+      pad_y_t  (Wp, Hp)      transposed (for Y-axis candidate steps)
+      pad_uv   (Hc_p, Wc_p)  chroma (u,v) PAIRS: one element = one u,v pair
+      pad_u_t / pad_v_t      transposed split chroma planes
+    All returned in their natural dtype; block views are bitcast at gather time."""
+    a = apron
+    ac = a // 2
+    pad_y = _mirror_pad_1d_axis(_mirror_pad_1d_axis(y, a, 0), a, 1)
+    pad_y_t = pad_y.T
+    # Chroma pairs: mirror-in-full-res then >>1 equals the same mirror rule in
+    # chroma index space (proof: SURVEY.md §7 mirror notes; arithmetic shift floors).
+    pair_dtype = jnp.uint32 if is_hdr else jnp.uint16
+    uv_pairs = jax.lax.bitcast_convert_type(
+        uv.reshape(uv.shape[0], uv.shape[1] // 2, 2), pair_dtype)
+    pad_uv = _mirror_pad_1d_axis(_mirror_pad_1d_axis(uv_pairs, ac, 0), ac, 1)
+    u_plane = uv[:, 0::2]
+    v_plane = uv[:, 1::2]
+    pad_u_t = _mirror_pad_1d_axis(_mirror_pad_1d_axis(u_plane, ac, 0), ac, 1).T
+    pad_v_t = _mirror_pad_1d_axis(_mirror_pad_1d_axis(v_plane, ac, 0), ac, 1).T
+    return dict(pad_y=pad_y, pad_y_t=pad_y_t, pad_uv=pad_uv,
+                pad_u_t=pad_u_t, pad_v_t=pad_v_t)
+
+
+def _strip_gather(plane: jnp.ndarray, row_idx: jnp.ndarray, base: jnp.ndarray,
+                  nb: int, group: int):
+    """Gather per segment `nb` consecutive `group`-element blocks starting at the
+    block containing `base`; returns (strips, rem) where strips is
+    (n_seg, nb*group) elements (base-aligned: strips[s, k] == plane[row_idx[s],
+    base[s] + k]) and the per-row base%group remainder has been normalized away with
+    a group-way dense select."""
+    n_rows, n_cols = plane.shape
+    blocks = _pad_to_multiple(plane, 1, group)
+    nb_cols = blocks.shape[1] // group
+    blocks = blocks.reshape(n_rows, nb_cols, group)
+
+    # Gather int32 cells: XLA's TPU gather handles 4-byte trailing blocks at full
+    # index rate, while u8/u16 trailing blocks fault the backend at scale.
+    elem = plane.dtype.itemsize
+    per32 = 4 // elem
+    if per32 > 1:
+        blocks32 = jax.lax.bitcast_convert_type(
+            blocks.reshape(n_rows, nb_cols, group // per32, per32), jnp.int32)
+    else:
+        blocks32 = blocks
+
+    block0 = base // group
+    rem = (base - block0 * group).astype(jnp.int32)
+    b = jnp.arange(nb, dtype=jnp.int32)[None, :]
+    bi = jnp.clip(block0[:, None] + b, 0, nb_cols - 1)
+    ri = jnp.clip(row_idx, 0, n_rows - 1)[:, None]
+    g32 = blocks32[ri, bi]                   # (n_seg, nb, group/per32) int32
+    if per32 > 1:
+        g = jax.lax.bitcast_convert_type(g32, plane.dtype)  # (..., per32)
+    else:
+        g = g32.astype(plane.dtype)
+    flat = g.reshape(g32.shape[0], nb * group)
+    # Normalize the remainder: strips[s, k] = flat[s, k + rem[s]].
+    out = jnp.zeros_like(flat)
+    for m in range(group):
+        shifted = jnp.concatenate(
+            [flat[:, m:], jnp.zeros((flat.shape[0], m), flat.dtype)], axis=1)
+        out = jnp.where(rem[:, None] == m, shifted, out)
+    return out
+
+
+def _extract_layers(strips: jnp.ndarray, layer_starts: jnp.ndarray, n_pix: int,
+                    stride: int, num_layers: int):
+    """samples[l, s, i] = strips[s, layer_starts[l] + i*stride] via per-layer dynamic
+    slice + static stride (num_layers tiny descriptors)."""
+    usable = (n_pix - 1) * stride + 1
+
+    def one(start):
+        sl = jax.lax.dynamic_slice(
+            strips, (0, start), (strips.shape[0], usable))
+        return sl[:, ::stride]
+
+    return jax.vmap(one)(layer_starts.astype(jnp.int32))  # (L, n_seg, n_pix)
+
+
+def _unpack_pairs(pairs: jnp.ndarray, is_hdr: bool):
+    """(u, v) from packed little-endian pairs."""
+    if is_hdr:
+        u = (pairs & jnp.uint32(0xFFFF)).astype(jnp.int32)
+        v = (pairs >> jnp.uint32(16)).astype(jnp.int32)
+    else:
+        u = (pairs & jnp.uint16(0xFF)).astype(jnp.int32)
+        v = (pairs >> jnp.uint16(8)).astype(jnp.int32)
+    return u, v
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("window_size", "res_scalar", "iteration", "step", "is_hdr",
+                     "num_layers", "apron", "dim_y", "dim_x"),
+)
+def delta_window_sums_strip(
+    ctx: dict,                    # build_frame_context of frame1
+    f2y: jnp.ndarray,
+    f2uv: jnp.ndarray,
+    offsets: jnp.ndarray,         # (2, low_h, low_w) int16
+    radius: jnp.ndarray,
+    delta_scalar: jnp.ndarray,
+    neighbor_scalar: jnp.ndarray,
+    *,
+    window_size: int,
+    res_scalar: int,
+    iteration: int,
+    step: int,
+    is_hdr: bool,
+    num_layers: int,
+    apron: int,
+    dim_y: int,
+    dim_x: int,
+) -> jnp.ndarray:
+    """Strip-mined twin of flow.delta_window_sums — identical outputs."""
+    assert res_scalar >= 1, "strip kernel requires res_scalar >= 1"
+    low_h, low_w = offsets.shape[1:]
+    L = num_layers
+    w = window_size
+    rs = res_scalar
+    a = apron
+    ac = a // 2
+    min_rel, span = rel_span(L)
+    # Luma block group: 8 bytes SDR / 4 u16 HDR -> both 8 B per index.
+    group_y = 4 if is_hdr else 8
+    group_c = 2 if is_hdr else 4  # pairs per block: u32x2 / u16x4 -> 8 B
+
+    n_wy = -(-low_h // w)
+    n_wx = -(-low_w // w)
+    lw_pad = n_wx * w
+    lh_pad = n_wy * w
+
+    # Candidate offsets per layer (traced radius within the static bucket).
+    lz = jnp.arange(L, dtype=jnp.int32)
+    rel = flow_ops._signed_square_i16(((lz % radius) - radius // 2).astype(jnp.int16))
+    rel32 = rel.astype(jnp.int32)
+
+    ideal_x = offsets[0]
+    ideal_y = offsets[1]
+    # Window-constant representatives (origin pixel of each window).
+    win_x = ideal_x[::w, ::w].astype(jnp.int32)  # (n_wy, n_wx)
+    win_y = ideal_y[::w, ::w].astype(jnp.int32)
+
+    # int16 wraparound of ideal + rel, evaluated once per (layer, window).
+    if step % 2 == 0:
+        off_x_lw = (win_x[None].astype(jnp.int16) + rel[:, None, None]).astype(jnp.int16)
+        off_y_lw = jnp.broadcast_to(win_y.astype(jnp.int16), (L, n_wy, n_wx))
+    else:
+        off_x_lw = jnp.broadcast_to(win_x.astype(jnp.int16), (L, n_wy, n_wx))
+        off_y_lw = (win_y[None].astype(jnp.int16) + rel[:, None, None]).astype(jnp.int16)
+
+    if step % 2 == 0:
+        # ---- X-axis candidates: row strips -------------------------------------
+        # Segment = (output row cy, window column wx). Luma strip along columns.
+        cy = jnp.arange(low_h, dtype=jnp.int32)
+        seg_row = ((cy[:, None] << rs) + win_y[(cy // w)[:, None],
+                                               jnp.arange(n_wx)[None, :]] + a)
+        seg_ix = win_x[(cy // w)[:, None], jnp.arange(n_wx)[None, :]]
+        base = (jnp.arange(n_wx, dtype=jnp.int32)[None, :] * (w << rs)
+                + seg_ix + min_rel + a)
+        nb_y = (span + ((w - 1) << rs) + group_y - 1) // group_y + 1
+        strips = _strip_gather(ctx["pad_y"], seg_row.reshape(-1), base.reshape(-1),
+                               nb_y, group_y)
+        # samples[l, seg, i] for i = pixel within window: in-strip position
+        # (i << rs) + (rel_l - min_rel).
+        layer_starts = rel32 - min_rel
+        samp = _extract_layers(strips.astype(jnp.int32), layer_starts, w, 1 << rs, L)
+        samp = samp.reshape(L, low_h, n_wx, w).reshape(L, low_h, lw_pad)[:, :, :low_w]
+
+        # Chroma: pair strips. pos_pair(l, i) = (i << (rs-1)) + ((ix + rel_l) >> 1)
+        # with the >>1 parity handled by two extractions + per-segment select.
+        c_row = ((cy[:, None] << rs) + win_y[(cy // w)[:, None],
+                                             jnp.arange(n_wx)[None, :]]) >> 1
+        c_row = c_row + ac
+        c_base = ((jnp.arange(n_wx, dtype=jnp.int32)[None, :] * (w << rs)) >> 1) \
+            + ((seg_ix + min_rel) >> 1) + ac
+        nb_c = ((span >> 1) + 2 + ((w - 1) << (rs - 1)) + group_c - 1) // group_c + 1
+        c_strips = _strip_gather(ctx["pad_uv"], c_row.reshape(-1),
+                                 c_base.reshape(-1), nb_c, group_c)
+        # delta from strip base: ((ix + rel) >> 1) - ((ix + min_rel) >> 1)
+        # = f(parity of (ix + min_rel)) — two variants selected per segment.
+        even_starts = (rel32 - min_rel) >> 1              # base even
+        odd_starts = (rel32 - min_rel + 1) >> 1           # base odd
+        cs = c_strips
+        samp_even = _extract_layers(cs, even_starts, w, 1 << (rs - 1), L)
+        samp_odd = _extract_layers(cs, odd_starts, w, 1 << (rs - 1), L)
+        base_parity = ((seg_ix + min_rel) & 1).reshape(-1)[None, :, None]
+        pair = jnp.where(base_parity == 0, samp_even, samp_odd)
+        u_s, v_s = _unpack_pairs(pair, is_hdr)
+        u_s = u_s.reshape(L, low_h, n_wx, w).reshape(L, low_h, lw_pad)[:, :, :low_w]
+        v_s = v_s.reshape(L, low_h, n_wx, w).reshape(L, low_h, lw_pad)[:, :, :low_w]
+    else:
+        # ---- Y-axis candidates: column strips from transposed planes -----------
+        cx = jnp.arange(low_w, dtype=jnp.int32)
+        seg_col = ((cx[:, None] << rs) + win_x[jnp.arange(n_wy)[None, :],
+                                               (cx // w)[:, None]] + a)
+        seg_iy = win_y[jnp.arange(n_wy)[None, :], (cx // w)[:, None]]
+        base = (jnp.arange(n_wy, dtype=jnp.int32)[None, :] * (w << rs)
+                + seg_iy + min_rel + a)
+        nb_y = (span + ((w - 1) << rs) + group_y - 1) // group_y + 1
+        strips = _strip_gather(ctx["pad_y_t"], seg_col.reshape(-1),
+                               base.reshape(-1), nb_y, group_y)
+        layer_starts = rel32 - min_rel
+        samp = _extract_layers(strips.astype(jnp.int32), layer_starts, w, 1 << rs, L)
+        # (L, low_w, n_wy, w) -> (L, low_h?, ...) transpose back
+        samp = samp.reshape(L, low_w, n_wy, w).reshape(L, low_w, lh_pad)[:, :, :low_h]
+        samp = samp.transpose(0, 2, 1)
+
+        # Chroma via split transposed planes: u col = ((cxf + ix) >> 1) fixed per
+        # segment; strip runs along chroma rows ((cyf + iy + rel) >> 1).
+        cxf = cx[:, None] << rs
+        ixw = win_x[jnp.arange(n_wy)[None, :], (cx // w)[:, None]]
+        c_col = ((cxf + ixw) >> 1) + ac
+        c_base = (((jnp.arange(n_wy, dtype=jnp.int32)[None, :] * (w << rs)) >> 1)
+                  + ((seg_iy + min_rel) >> 1) + ac)
+        nb_c = ((span >> 1) + 2 + ((w - 1) << (rs - 1)) + group_c_t(is_hdr) - 1) \
+            // group_c_t(is_hdr) + 1
+        even_starts = (rel32 - min_rel) >> 1
+        odd_starts = (rel32 - min_rel + 1) >> 1
+        base_parity = ((seg_iy + min_rel) & 1).reshape(-1)[None, :, None]
+
+        def chroma_from(plane):
+            st = _strip_gather(plane, c_col.reshape(-1), c_base.reshape(-1),
+                               nb_c, group_c_t(is_hdr))
+            se = _extract_layers(st.astype(jnp.int32), even_starts, w,
+                                 1 << (rs - 1), L)
+            so = _extract_layers(st.astype(jnp.int32), odd_starts, w,
+                                 1 << (rs - 1), L)
+            s = jnp.where(base_parity == 0, se, so)
+            s = s.reshape(L, low_w, n_wy, w).reshape(L, low_w, lh_pad)[:, :, :low_h]
+            return s.transpose(0, 2, 1)
+
+        u_s = chroma_from(ctx["pad_u_t"])
+        v_s = chroma_from(ctx["pad_v_t"])
+
+    # ---- identical cost assembly (mirrors flow.delta_window_sums) --------------
+    shift = 8 if is_hdr else 0
+    cxg = jnp.arange(low_w, dtype=jnp.int32)[None, None, :]
+    cyg = jnp.arange(low_h, dtype=jnp.int32)[None, :, None]
+    scaled_cx = cxg << rs
+    scaled_cy = cyg << rs
+    in_frame = (scaled_cx < dim_x) & (scaled_cy < dim_y)
+
+    uv_h = dim_y // 2
+    f2y_i = f2y.astype(jnp.int32) >> shift
+    f2uv_i = f2uv.astype(jnp.int32) >> shift
+    s_cy = jnp.clip(scaled_cy, 0, dim_y - 1)
+    s_cx = jnp.clip(scaled_cx, 0, dim_x - 1)
+    s_uy = jnp.clip(s_cy >> 1, 0, uv_h - 1)
+    s_ux = jnp.clip(s_cx & ~1, 0, f2uv.shape[1] - 1)
+    s_vx = jnp.clip((s_cx & ~1) + 1, 0, f2uv.shape[1] - 1)
+    f2_y = f2y_i[s_cy[0], s_cx[0]][None]
+    f2_u = f2uv_i[s_uy[0], s_ux[0]][None]
+    f2_v = f2uv_i[s_uy[0], s_vx[0]][None]
+
+    delta = (
+        jnp.abs((samp >> shift) - f2_y)
+        + jnp.abs((u_s >> shift) - f2_u)
+        + jnp.abs((v_s >> shift) - f2_v)
+    ).astype(jnp.uint32)
+    delta = delta << delta_scalar.astype(jnp.uint32)
+    delta = jnp.where(in_frame, delta, jnp.uint32(0))
+
+    # Per-pixel offsets for biases (full-resolution arrays, window-broadcast).
+    off_x_full = jnp.repeat(jnp.repeat(off_x_lw, w, axis=1), w, axis=2)[
+        :, :low_h, :low_w]
+    off_y_full = jnp.repeat(jnp.repeat(off_y_lw, w, axis=1), w, axis=2)[
+        :, :low_h, :low_w]
+    active = off_x_full if step % 2 == 0 else off_y_full
+    offset_bias = jnp.abs(active.astype(jnp.int32)).astype(jnp.uint32)
+
+    if iteration >= config.FIRST_NEIGHBOR_ITERATION:
+        plane = offsets[0 if step % 2 == 0 else 1]
+        nb = jnp.zeros((L, low_h, low_w), dtype=jnp.uint32)
+        for dx, dy in ((0, 2 * w), (2 * w, 0), (-2 * w, 0), (0, -2 * w)):
+            if dy:
+                idx = jnp.clip(jnp.arange(low_h, dtype=jnp.int32) + dy, 0, low_h - 1)
+                n_off = plane[idx, :][None]
+            else:
+                idx = jnp.clip(jnp.arange(low_w, dtype=jnp.int32) + dx, 0, low_w - 1)
+                n_off = plane[:, idx][None]
+            nb = nb + jnp.abs(n_off.astype(jnp.int32)
+                              - active.astype(jnp.int32)).astype(jnp.uint32)
+        neighbor_bias = nb << neighbor_scalar.astype(jnp.uint32)
+    else:
+        neighbor_bias = jnp.uint32(0)
+
+    total = delta + offset_bias + neighbor_bias
+    pad_h = lh_pad - low_h
+    pad_w = lw_pad - low_w
+    padded = jnp.pad(total, ((0, 0), (0, pad_h), (0, pad_w)))
+    sums = padded.reshape(L, n_wy, w, n_wx, w).sum(axis=(2, 4), dtype=jnp.uint32)
+    lz3 = lz[:, None, None]
+    return jnp.where(lz3 < radius, sums, UINT32_MAX)
+
+
+def group_c_t(is_hdr: bool) -> int:
+    """Blocks for transposed split chroma planes: 8 B per index."""
+    return 4 if is_hdr else 8
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("low_h", "low_w", "res_scalar", "is_hdr", "num_iterations",
+                     "num_layers", "apron", "dim_y", "dim_x"),
+)
+def pyramid_flow_strip(
+    ctx1: dict,
+    f2y: jnp.ndarray,
+    f2uv: jnp.ndarray,
+    radius: jnp.ndarray,
+    delta_scalar: jnp.ndarray,
+    neighbor_scalar: jnp.ndarray,
+    *,
+    low_h: int,
+    low_w: int,
+    res_scalar: int,
+    is_hdr: bool,
+    num_iterations: int = 0,
+    num_layers: int = MAX_R,
+    apron: int,
+    dim_y: int,
+    dim_x: int,
+):
+    """Strip-mined twin of flow.pyramid_flow (identical outputs). frame1 arrives as
+    its prebuilt context (built once per source frame by the engine)."""
+    offsets = jnp.zeros((2, low_h, low_w), dtype=jnp.int16)
+    total_delta_raw = jnp.uint32(0)
+
+    for iteration, window in flow_ops.window_schedule(low_h, low_w, num_iterations):
+        for step in (0, 1):
+            sums = delta_window_sums_strip(
+                ctx1, f2y, f2uv, offsets, radius, delta_scalar, neighbor_scalar,
+                window_size=window, res_scalar=res_scalar, iteration=iteration,
+                step=step, is_hdr=is_hdr, num_layers=num_layers, apron=apron,
+                dim_y=dim_y, dim_x=dim_x,
+            )
+            if iteration == 0 and step == 0:
+                total_delta_raw = jax.lax.dynamic_index_in_dim(
+                    sums[:, 0, 0], radius // 2 - 1, keepdims=False
+                )
+            winners = flow_ops.lowest_layer(sums)
+            offsets = flow_ops.adjust_offsets(
+                offsets, winners, radius, window_size=window, step=step
+            )
+            # Fusing all 16 strip steps into one compute region faults the TPU
+            # runtime (worker crash); a barrier per step keeps one executable while
+            # bounding fusion scope. No measurable cost (the steps are serial anyway).
+            offsets = jax.lax.optimization_barrier(offsets)
+
+    blurred = flow_ops.blur_flow(offsets)
+    return offsets, blurred, total_delta_raw

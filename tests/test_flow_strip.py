@@ -1,0 +1,90 @@
+"""Strip-mined cost volume vs the reference formulation — exact equality."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from conftest import make_flow, make_frame
+from hopperrender_tpu.ops import flow as flow_ops
+from hopperrender_tpu.ops import flow_strip, golden
+
+
+def ctx_for(y, uv, apron, is_hdr):
+    return flow_strip.build_frame_context(
+        jnp.asarray(y), jnp.asarray(uv), apron=apron, is_hdr=is_hdr)
+
+
+@pytest.mark.parametrize("is_hdr", [False, True])
+@pytest.mark.parametrize("step", [0, 1])
+@pytest.mark.parametrize("window,iteration", [(8, 0), (4, 2), (2, 5), (4, 4)])
+@pytest.mark.parametrize("radius,num_layers", [(5, 8), (8, 8), (9, 16), (16, 16)])
+def test_strip_matches_reference_kernel(rng, is_hdr, step, window, iteration,
+                                        radius, num_layers):
+    h, w = 32, 48
+    rs = 1
+    low_h, low_w = 16, 24
+    f1y, f1uv = make_frame(rng, h, w, is_hdr)
+    f2y, f2uv = make_frame(rng, h, w, is_hdr)
+    # Offsets must be WINDOW-CONSTANT (the pyramid invariant the strip kernel
+    # exploits): build from a window-grid.
+    grid = make_flow(rng, -(-low_h // window), -(-low_w // window), max_mag=12)
+    offsets = np.repeat(np.repeat(grid, window, 1), window, 2)[:, :low_h, :low_w]
+    apron = flow_strip.apron_for(low_h, low_w)
+    ctx = ctx_for(f1y, f1uv, apron, is_hdr)
+    got = flow_strip.delta_window_sums_strip(
+        ctx, jnp.asarray(f2y), jnp.asarray(f2uv), jnp.asarray(offsets),
+        jnp.int32(radius), jnp.int32(8), jnp.int32(6),
+        window_size=window, res_scalar=rs, iteration=iteration, step=step,
+        is_hdr=is_hdr, num_layers=num_layers, apron=apron, dim_y=h, dim_x=w)
+    want = flow_ops.delta_window_sums(
+        jnp.asarray(f1y), jnp.asarray(f1uv), jnp.asarray(f2y), jnp.asarray(f2uv),
+        jnp.asarray(offsets), jnp.int32(radius), jnp.int32(8), jnp.int32(6),
+        window_size=window, res_scalar=rs, iteration=iteration, step=step,
+        is_hdr=is_hdr, num_layers=num_layers)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("is_hdr", [False, True])
+@pytest.mark.parametrize("rs,h,w,low_h,low_w", [(1, 32, 48, 16, 24),
+                                                (2, 64, 96, 16, 24),
+                                                (3, 64, 128, 8, 16)])
+def test_strip_pyramid_matches_golden(rng, is_hdr, rs, h, w, low_h, low_w):
+    f1y, f1uv = make_frame(rng, h, w, is_hdr)
+    f2y, f2uv = make_frame(rng, h, w, is_hdr)
+    apron = flow_strip.apron_for(low_h, low_w)
+    ctx = ctx_for(f1y, f1uv, apron, is_hdr)
+    offsets, blurred, raw = flow_strip.pyramid_flow_strip(
+        ctx, jnp.asarray(f2y), jnp.asarray(f2uv),
+        jnp.int32(9), jnp.int32(8), jnp.int32(6),
+        low_h=low_h, low_w=low_w, res_scalar=rs, is_hdr=is_hdr,
+        apron=apron, dim_y=h, dim_x=w)
+    params = golden.FlowParams(search_radius=9, res_scalar=rs, is_hdr=is_hdr)
+    g_off, g_blur, g_delta = golden.calculate_optical_flow(
+        f1y, f1uv, f2y, f2uv, low_h, low_w, params)
+    np.testing.assert_array_equal(np.asarray(offsets), g_off)
+    np.testing.assert_array_equal(np.asarray(blurred), g_blur)
+    norm = low_h * low_w * (6 if is_hdr else 10)
+    assert int(raw) // norm == g_delta
+
+
+def test_strip_odd_low_dims(rng):
+    """Non-multiple-of-window low dims exercise the padded-window masking."""
+    h, w = 30, 44
+    rs = 1
+    low_h, low_w = 15, 22
+    f1y, f1uv = make_frame(rng, h, w)
+    f2y, f2uv = make_frame(rng, h, w)
+    apron = flow_strip.apron_for(low_h, low_w)
+    ctx = ctx_for(f1y, f1uv, apron, False)
+    offsets, blurred, raw = flow_strip.pyramid_flow_strip(
+        ctx, jnp.asarray(f2y), jnp.asarray(f2uv),
+        jnp.int32(16), jnp.int32(8), jnp.int32(6),
+        low_h=low_h, low_w=low_w, res_scalar=rs, is_hdr=False,
+        apron=apron, dim_y=h, dim_x=w)
+    o2, b2, r2 = flow_ops.pyramid_flow(
+        jnp.asarray(f1y), jnp.asarray(f1uv), jnp.asarray(f2y), jnp.asarray(f2uv),
+        jnp.int32(16), jnp.int32(8), jnp.int32(6),
+        low_h=low_h, low_w=low_w, res_scalar=rs, is_hdr=False)
+    np.testing.assert_array_equal(np.asarray(offsets), np.asarray(o2))
+    np.testing.assert_array_equal(np.asarray(blurred), np.asarray(b2))
+    assert int(raw) == int(r2)
