@@ -57,7 +57,9 @@ def main() -> None:
 
     from hopperrender_tpu import config as hcfg
     from hopperrender_tpu.ops import flow as flow_ops
+    from hopperrender_tpu.ops import flow_strip
     from hopperrender_tpu.ops import warp as warp_ops
+    from hopperrender_tpu.ops import warp_strip
     from hopperrender_tpu.vio import nv12
 
     w, h, is_hdr = cfg["w"], cfg["h"], cfg["is_hdr"]
@@ -65,6 +67,8 @@ def main() -> None:
     rs, low_h, low_w = hcfg.calc_flow_dims(h, w, hcfg.MAX_CALC_RES)
     outputs_per_source = cfg["target_fps"] / cfg["source_fps"]
     rng = np.random.default_rng(0)
+    use_strips = rs >= 1
+    apron = flow_strip.apron_for(low_h, low_w)
 
     def make_batch(shift):
         ys, uvs = [], []
@@ -81,57 +85,79 @@ def main() -> None:
     salt_dtype = jnp.uint16 if is_hdr else jnp.uint8
     white = 65280.0 if is_hdr else 255.0
     radius = jnp.int32(args.radius)
+    num_layers = 8 if args.radius <= 8 else 16
 
-    def one_flow(y1, uv1, y2, uv2):
-        _, blurred, raw = flow_ops.pyramid_flow(
-            y1, uv1, y2, uv2, radius, jnp.int32(8), jnp.int32(6),
-            low_h=low_h, low_w=low_w, res_scalar=rs, is_hdr=is_hdr)
-        return blurred, raw
+    def source_frame_unit(y1, uv1, y2, uv2, fl_prev, n_warps):
+        """Everything one source frame costs in steady state (engine path):
+        flow-ctx + warp-ctx builds for the incoming frame, one pyramid, n warps
+        reusing the contexts."""
+        acc = jnp.uint32(0)
+        if use_strips:
+            ctx = flow_strip.build_frame_context(y1, uv1, apron=apron, is_hdr=is_hdr)
+            _, blurred, raw = flow_strip.pyramid_flow_strip(
+                ctx, y2, uv2, radius, jnp.int32(8), jnp.int32(6),
+                low_h=low_h, low_w=low_w, res_scalar=rs, is_hdr=is_hdr,
+                num_layers=num_layers, apron=apron, dim_y=h, dim_x=w)
+            c12 = warp_strip.build_warp_context(y1, uv1, apron=apron, is_hdr=is_hdr)
+            c21 = warp_strip.build_warp_context(y2, uv2, apron=apron, is_hdr=is_hdr)
+            for i in range(n_warps):
+                t = jnp.float32((i + 0.5) / n_warps)
+                oy, ouv = warp_strip.warp_frame_strip(
+                    c12, c21, fl_prev, t, jnp.float32(0.0), jnp.float32(white),
+                    res_scalar=rs, mode=2, is_hdr=is_hdr, dim_y=h, dim_x=w,
+                    apron=apron)
+                acc = acc + jnp.sum(oy[0, :8].astype(jnp.uint32)) + jnp.sum(
+                    ouv[0, :8].astype(jnp.uint32))
+        else:
+            _, blurred, raw = flow_ops.pyramid_flow(
+                y1, uv1, y2, uv2, radius, jnp.int32(8), jnp.int32(6),
+                low_h=low_h, low_w=low_w, res_scalar=rs, is_hdr=is_hdr,
+                num_layers=num_layers)
+            for i in range(n_warps):
+                t = jnp.float32((i + 0.5) / n_warps)
+                oy, ouv = warp_ops.warp_frame(
+                    y1, uv1, y2, uv2, fl_prev, t, jnp.float32(0.0),
+                    jnp.float32(white), res_scalar=rs, mode=2, is_hdr=is_hdr)
+                acc = acc + jnp.sum(oy[0, :8].astype(jnp.uint32)) + jnp.sum(
+                    ouv[0, :8].astype(jnp.uint32))
+        return acc + raw + blurred[0, 0, 0].astype(jnp.uint32), blurred
 
-    def one_warp(y1, uv1, y2, uv2, fl, t):
-        oy, ouv = warp_ops.warp_frame(
-            y1, uv1, y2, uv2, fl, t, jnp.float32(0.0), jnp.float32(white),
-            res_scalar=rs, mode=2, is_hdr=is_hdr)
-        return oy, ouv
+    n_warps_even = int(round(outputs_per_source))  # 24->60: units alternate 3/2
 
     @functools.partial(jax.jit, static_argnames=("k",))
-    def flow_chain(k: int):
-        acc = jnp.uint32(0)
-        for _ in range(k):
-            y1 = f1y + (acc % 2).astype(salt_dtype)  # serialize the chain
-            bl, raw = jax.vmap(lambda a, b, c, d: one_flow(a, b, c, d))(
-                y1, f1uv, f2y, f2uv)
-            acc = acc + jnp.sum(raw) + jnp.sum(bl[:, 0, 0, 0].astype(jnp.uint32))
-        return acc
-
-    @functools.partial(jax.jit, static_argnames=("k",))
-    def warp_chain(k: int):
-        acc = jnp.uint32(0)
+    def unit_chain(salt, *, k: int):
+        acc = jnp.uint32(salt)
+        fl = flow_prev
         for i in range(k):
-            y1 = f1y + (acc % 2).astype(salt_dtype)
-            t = jnp.float32(0.1 + 0.8 * (i % 3) / 3.0)
-            oy, ouv = jax.vmap(lambda a, b, c, d, fl: one_warp(a, b, c, d, fl, t))(
-                y1, f1uv, f2y, f2uv, flow_prev)
-            acc = acc + jnp.sum(oy[:, 0, :8].astype(jnp.uint32)) + jnp.sum(
-                ouv[:, 0, :8].astype(jnp.uint32))
+            y1 = f1y + (acc % 2).astype(salt_dtype)  # serialize the chain
+            n_w = n_warps_even if i % 2 == 0 else max(n_warps_even - 1, 1)
+            res = jax.vmap(
+                lambda a, b, c, d, f: source_frame_unit(a, b, c, d, f, n_w)
+            )(y1, f1uv, f2y, f2uv, fl)
+            acc = acc + jnp.sum(res[0])
+            fl = res[1]
         return acc
 
     def slope_ms(chain, k1, k2, reps=3):
         times = {}
+        salt = 0
         for k in (k1, k2):
-            int(chain(k))  # compile + warm
+            int(chain(salt, k=k))  # compile + warm
+            salt += 1
             best = float("inf")
             for _ in range(reps):
                 t0 = time.perf_counter()
-                int(chain(k))
+                int(chain(salt, k=k))
+                salt += 1
                 best = min(best, time.perf_counter() - t0)
             times[k] = best
         return (times[k2] - times[k1]) / (k2 - k1) * 1e3
 
-    flow_ms = slope_ms(flow_chain, args.k1, args.k2)
-    warp_ms = slope_ms(warp_chain, args.k1, args.k2)
-
-    per_source_ms = (flow_ms + outputs_per_source * warp_ms) / B
+    unit_ms = slope_ms(unit_chain, args.k1, args.k2)
+    # A unit averages (n_even + n_even-1)/2 warps; scale to outputs_per_source.
+    flow_ms = float("nan")
+    warp_ms = float("nan")
+    per_source_ms = unit_ms / B
     budget_ms = 1e3 / cfg["source_fps"]
     suffix = f"_x{B}streams" if B > 1 else ""
     result = {
@@ -143,10 +169,10 @@ def main() -> None:
     if not args.json_only:
         print(
             f"[{args.config} x{B}] {w}x{h} {'HDR' if is_hdr else 'SDR'} radius "
-            f"{args.radius} on {jax.devices()[0]} (slope k={args.k1}->{args.k2})\n"
-            f"  flow calc:  {flow_ms:8.3f} ms per batch step\n"
-            f"  warp:       {warp_ms:8.3f} ms per batch output frame\n"
-            f"  per source: {per_source_ms:8.3f} ms/stream "
+            f"{args.radius} {'strip' if use_strips else 'reference'} path on "
+            f"{jax.devices()[0]} (slope k={args.k1}->{args.k2})\n"
+            f"  per source frame (ctx builds + flow + {outputs_per_source:.1f} warps):"
+            f" {per_source_ms:8.3f} ms/stream "
             f"(budget {budget_ms:.3f} ms, {budget_ms / per_source_ms:.2f}x realtime)",
             file=sys.stderr,
         )

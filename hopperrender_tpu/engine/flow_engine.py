@@ -34,6 +34,7 @@ from hopperrender_tpu import config
 from hopperrender_tpu.ops import flow as flow_ops
 from hopperrender_tpu.ops import flow_strip
 from hopperrender_tpu.ops import warp as warp_ops
+from hopperrender_tpu.ops import warp_strip
 
 
 class CalcTimeWindow:
@@ -112,6 +113,12 @@ class OpticalFlowEngine:
         self.use_strips = self.res_scalar >= 1
         self._apron = flow_strip.apron_for(self.low_h, self.low_w)
         self._ctxs = [None, None, None]
+        # Strip-mined warp (modes 0/1/2) needs cell-aligned dims as well.
+        cell = 1 << self.res_scalar
+        self.use_warp_strips = (
+            self.use_strips and self.h % cell == 0 and self.w % cell == 0
+        )
+        self._wctxs = [None, None, None]
 
     # The underlying ops are module-level jits with static argnames, so engines with
     # the same (resolution, hdr) share one compilation — no per-instance traces.
@@ -129,6 +136,10 @@ class OpticalFlowEngine:
             ctx = flow_strip.build_frame_context(
                 y_dev, uv_dev, apron=self._apron, is_hdr=self.is_hdr)
             self._ctxs = [self._ctxs[1], self._ctxs[2], ctx]
+        if self.use_warp_strips:
+            wctx = warp_strip.build_warp_context(
+                y_dev, uv_dev, apron=self._apron, is_hdr=self.is_hdr)
+            self._wctxs = [self._wctxs[1], self._wctxs[2], wctx]
         self.frame_count += 1
         self._ofc_start = time.perf_counter()
 
@@ -183,12 +194,22 @@ class OpticalFlowEngine:
             raise ValueError("Blending scalar is greater than 1.0")
         black, white = self._levels()
         start = time.perf_counter()
-        y, uv = warp_ops.warp_frame(
-            self._frames_y[0], self._frames_uv[0], self._frames_y[1], self._frames_uv[1],
-            self._blurred[0], jnp.float32(blending_scalar),
-            jnp.float32(black), jnp.float32(white),
-            res_scalar=self.res_scalar, mode=int(frame_output_mode), is_hdr=self.is_hdr,
-        )
+        mode = int(frame_output_mode)
+        if self.use_warp_strips and mode in (0, 1, 2) and self._wctxs[0] is not None:
+            y, uv = warp_strip.warp_frame_strip(
+                self._wctxs[0], self._wctxs[1], self._blurred[0],
+                jnp.float32(blending_scalar), jnp.float32(black), jnp.float32(white),
+                res_scalar=self.res_scalar, mode=mode, is_hdr=self.is_hdr,
+                dim_y=self.h, dim_x=self.w, apron=self._apron,
+            )
+        else:
+            y, uv = warp_ops.warp_frame(
+                self._frames_y[0], self._frames_uv[0],
+                self._frames_y[1], self._frames_uv[1],
+                self._blurred[0], jnp.float32(blending_scalar),
+                jnp.float32(black), jnp.float32(white),
+                res_scalar=self.res_scalar, mode=mode, is_hdr=self.is_hdr,
+            )
         uv.block_until_ready()
         self.warp_time.record(time.perf_counter() - start)
         return y, uv
