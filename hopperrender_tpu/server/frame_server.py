@@ -35,6 +35,7 @@ from hopperrender_tpu.config import ActiveState, FrameOutput, Settings
 from hopperrender_tpu.engine.flow_engine import OpticalFlowEngine
 from hopperrender_tpu.server import sidedata as sd
 from hopperrender_tpu.server.control import AutoQualityScaler, CadenceController
+from hopperrender_tpu.server.display import DisplayRatePoller
 from hopperrender_tpu.utils.logging import get_logger
 from hopperrender_tpu.vio import nv12
 
@@ -115,6 +116,10 @@ class FrameServer:
         self.scaler = AutoQualityScaler()
         self.engine: OpticalFlowEngine | None = None  # lazy (ref: HopperRender.cpp:906-925)
         self._frame_index = 0
+        # 5 s display refresh re-poll when following the display
+        # (ref: HopperRender.cpp:793-800).
+        self._display_poller = DisplayRatePoller() if (
+            self.settings.use_display_fps and display_fps is None) else None
 
     # -- configuration ------------------------------------------------------
 
@@ -193,6 +198,11 @@ class FrameServer:
         if pts is None:
             pts = self._frame_index * self.cadence.source_frame_time
         self._frame_index += 1
+
+        if self._display_poller is not None:
+            rate = self._display_poller.poll()
+            if rate:
+                self.set_display_fps(rate)
 
         num_outputs = self.cadence.begin_source_frame(pts)
 

@@ -185,3 +185,23 @@ def test_all_output_modes(rng, mode):
     for y, uv in stream_frames(rng, 4):
         outs = srv.push_frame(y, uv)
     assert any(o.interpolated for o in outs)
+
+
+def test_display_poll_updates_target(rng, monkeypatch):
+    """use_display_fps without an explicit rate polls the display every 5 s
+    (ref: HopperRender.cpp:793-800)."""
+    from hopperrender_tpu.server import display
+
+    rates = iter([100.0, 120.0])
+    srv = FrameServer(48, 32, source_fps=24.0,
+                      settings=Settings(target_fps=60.0, use_display_fps=True))
+    assert srv._display_poller is not None
+    srv._display_poller._probe = lambda: next(rates, 120.0)
+    y, uv = nv12.synthetic_frame(rng, 32, 48)
+    srv.push_frame(y, uv)  # first poll -> 100 Hz
+    assert srv.cadence.target_frame_time == int(1e7 / 100.0)
+    srv.push_frame(y, uv)  # within 5 s window: no re-poll
+    assert srv.cadence.target_frame_time == int(1e7 / 100.0)
+    srv._display_poller._last_poll -= 6.0  # age the window
+    srv.push_frame(y, uv)
+    assert srv.cadence.target_frame_time == int(1e7 / 120.0)
