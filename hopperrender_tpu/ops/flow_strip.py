@@ -110,13 +110,18 @@ def build_frame_context(y: jnp.ndarray, uv: jnp.ndarray, *, apron: int, is_hdr: 
     All returned in their natural dtype; block views are bitcast at gather time."""
     a = apron
     ac = a // 2
+    # The HDR cost volume compares only the TOP 8 bits (>>8, ref:
+    # calcDeltaSumsKernelHDR.h:98-100), so the flow context stores pre-shifted
+    # uint8 planes for both bit depths — halving the HDR gather block count.
+    if is_hdr:
+        y = (y >> 8).astype(jnp.uint8)
+        uv = (uv >> 8).astype(jnp.uint8)
     pad_y = _mirror_pad_1d_axis(_mirror_pad_1d_axis(y, a, 0), a, 1)
     pad_y_t = pad_y.T
     # Chroma pairs: mirror-in-full-res then >>1 equals the same mirror rule in
     # chroma index space (proof: SURVEY.md §7 mirror notes; arithmetic shift floors).
-    pair_dtype = jnp.uint32 if is_hdr else jnp.uint16
     uv_pairs = jax.lax.bitcast_convert_type(
-        uv.reshape(uv.shape[0], uv.shape[1] // 2, 2), pair_dtype)
+        uv.reshape(uv.shape[0], uv.shape[1] // 2, 2), jnp.uint16)
     pad_uv = _mirror_pad_1d_axis(_mirror_pad_1d_axis(uv_pairs, ac, 0), ac, 1)
     u_plane = uv[:, 0::2]
     v_plane = uv[:, 1::2]
@@ -226,9 +231,10 @@ def delta_window_sums_strip(
     a = apron
     ac = a // 2
     min_rel, span = rel_span(L)
-    # Luma block group: 8 bytes SDR / 4 u16 HDR -> both 8 B per index.
-    group_y = 4 if is_hdr else 8
-    group_c = 2 if is_hdr else 4  # pairs per block: u32x2 / u16x4 -> 8 B
+    # Context planes are uint8 / uint16-pairs for BOTH bit depths (HDR pre-shifted
+    # >>8 at context build): 8-byte blocks throughout.
+    group_y = 8
+    group_c = 4
 
     n_wy = -(-low_h // w)
     n_wx = -(-low_w // w)
@@ -291,7 +297,7 @@ def delta_window_sums_strip(
         samp_odd = _extract_layers(cs, odd_starts, w, 1 << (rs - 1), L)
         base_parity = ((seg_ix + min_rel) & 1).reshape(-1)[None, :, None]
         pair = jnp.where(base_parity == 0, samp_even, samp_odd)
-        u_s, v_s = _unpack_pairs(pair, is_hdr)
+        u_s, v_s = _unpack_pairs(pair.astype(jnp.uint16), False)
         u_s = u_s.reshape(L, low_h, n_wx, w).reshape(L, low_h, lw_pad)[:, :, :low_w]
         v_s = v_s.reshape(L, low_h, n_wx, w).reshape(L, low_h, lw_pad)[:, :, :low_w]
     else:
@@ -358,10 +364,12 @@ def delta_window_sums_strip(
     f2_u = f2uv_i[s_uy[0], s_ux[0]][None]
     f2_v = f2uv_i[s_uy[0], s_vx[0]][None]
 
+    # Context samples are already top-8-bit for HDR (pre-shifted at context build);
+    # only the frame2 side shifts here.
     delta = (
-        jnp.abs((samp >> shift) - f2_y)
-        + jnp.abs((u_s >> shift) - f2_u)
-        + jnp.abs((v_s >> shift) - f2_v)
+        jnp.abs(samp - f2_y)
+        + jnp.abs(u_s - f2_u)
+        + jnp.abs(v_s - f2_v)
     ).astype(jnp.uint32)
     delta = delta << delta_scalar.astype(jnp.uint32)
     delta = jnp.where(in_frame, delta, jnp.uint32(0))
@@ -400,8 +408,9 @@ def delta_window_sums_strip(
 
 
 def group_c_t(is_hdr: bool) -> int:
-    """Blocks for transposed split chroma planes: 8 B per index."""
-    return 4 if is_hdr else 8
+    """Blocks for transposed split chroma planes (uint8 for both bit depths since
+    the HDR context pre-shifts >>8): 8 B per index."""
+    return 8
 
 
 @functools.partial(
