@@ -154,9 +154,6 @@ def main() -> None:
         return (times[k2] - times[k1]) / (k2 - k1) * 1e3
 
     unit_ms = slope_ms(unit_chain, args.k1, args.k2)
-    # A unit averages (n_even + n_even-1)/2 warps; scale to outputs_per_source.
-    flow_ms = float("nan")
-    warp_ms = float("nan")
     per_source_ms = unit_ms / B
     budget_ms = 1e3 / cfg["source_fps"]
     suffix = f"_x{B}streams" if B > 1 else ""

@@ -31,7 +31,7 @@ import dataclasses
 import numpy as np
 
 from hopperrender_tpu import config
-from hopperrender_tpu.config import ActiveState, FrameOutput, Settings
+from hopperrender_tpu.config import ActiveState, Settings
 from hopperrender_tpu.engine.flow_engine import OpticalFlowEngine
 from hopperrender_tpu.server import sidedata as sd
 from hopperrender_tpu.server.control import AutoQualityScaler, CadenceController
