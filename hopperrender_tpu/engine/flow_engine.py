@@ -146,10 +146,12 @@ class OpticalFlowEngine:
     def calculate_optical_flow(self) -> None:
         """Compute flow for the newest pair (slots 1,2); swap the flow double buffer
         so warping uses the previous pair's flow (ref: opticalFlowCalcSDR.cpp:44-139)."""
-        # Bucket the static cost-volume depth to the current radius so the auto
-        # scaler's low end (radius <= 8) does half the work (and a 4x narrower
-        # strip span); at most two cached compilations per resolution.
-        num_layers = 8 if self.search_radius <= 8 else flow_ops.MAX_R
+        # Bucket the static cost-volume depth to the current radius: fewer layers
+        # AND a narrower candidate span (strip width) as the auto scaler backs off
+        # — spans 6/26/62/114 px for buckets 5/8/12/16. Compilations are cached per
+        # visited bucket.
+        num_layers = next(b for b in (5, 8, 12, flow_ops.MAX_R)
+                          if self.search_radius <= b)
         scalars = (jnp.int32(self.search_radius), jnp.int32(self.delta_scalar),
                    jnp.int32(self.neighbor_scalar))
         if self.use_strips and self._ctxs[1] is not None:

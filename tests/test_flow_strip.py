@@ -88,3 +88,23 @@ def test_strip_odd_low_dims(rng):
     np.testing.assert_array_equal(np.asarray(offsets), np.asarray(o2))
     np.testing.assert_array_equal(np.asarray(blurred), np.asarray(b2))
     assert int(raw) == int(r2)
+
+
+@pytest.mark.parametrize("radius,bucket", [(5, 5), (6, 8), (8, 8), (11, 12), (13, 16)])
+def test_strip_bucket_bit_identity(rng, radius, bucket):
+    """Any bucket >= radius must be bit-identical to the full 16-layer volume."""
+    h, w = 32, 48
+    rs, low_h, low_w = 1, 16, 24
+    f1y, f1uv = make_frame(rng, h, w)
+    f2y, f2uv = make_frame(rng, h, w)
+    apron = flow_strip.apron_for(low_h, low_w)
+    ctx = ctx_for(f1y, f1uv, apron, False)
+    args = (ctx, jnp.asarray(f2y), jnp.asarray(f2uv), jnp.int32(radius),
+            jnp.int32(8), jnp.int32(6))
+    kw = dict(low_h=low_h, low_w=low_w, res_scalar=rs, is_hdr=False,
+              apron=apron, dim_y=h, dim_x=w)
+    o1, b1, r1 = flow_strip.pyramid_flow_strip(*args, num_layers=bucket, **kw)
+    o2, b2, r2 = flow_strip.pyramid_flow_strip(*args, num_layers=16, **kw)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+    assert int(r1) == int(r2)
