@@ -54,7 +54,7 @@ def rel_span(num_layers: int) -> tuple[int, int]:
     rel(l) = signed_square((l % r) - r//2); worst case r = num_layers."""
     r = num_layers
     lo = -((r // 2) ** 2)
-    hi = (r // 2 - 1) ** 2 if r >= 2 else 0
+    hi = (r - 1 - r // 2) ** 2 if r >= 2 else 0  # max (l%r)-r//2 is r-1-r//2
     return lo, hi - lo + 1
 
 
