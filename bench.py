@@ -135,7 +135,9 @@ def main() -> None:
                 lambda a, b, c, d, f: source_frame_unit(a, b, c, d, f, n_w)
             )(y1, f1uv, f2y, f2uv, fl)
             acc = acc + jnp.sum(res[0])
-            fl = res[1]
+            # Bound fusion scope between units: over-fused strip programs fault the
+            # TPU runtime (see PERF.md gotchas).
+            acc, fl = jax.lax.optimization_barrier((acc, res[1]))
         return acc
 
     def slope_ms(chain, k1, k2, reps=3):
