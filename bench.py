@@ -87,11 +87,11 @@ def main() -> None:
     radius = jnp.int32(args.radius)
     num_layers = 8 if args.radius <= 8 else 16
 
-    def source_frame_unit(y1, uv1, y2, uv2, fl_prev, n_warps):
-        """Everything one source frame costs in steady state (engine path):
-        flow-ctx + warp-ctx builds for the incoming frame, one pyramid, n warps
-        reusing the contexts."""
-        acc = jnp.uint32(0)
+    # Two separately-jitted chains (fusing a whole source-frame unit into one
+    # program can fault the TPU runtime; the engine also runs these as separate
+    # dispatches): A = per-source overheads (context builds + pyramid),
+    # B = one warp. per_source = A + outputs_per_source * B.
+    def flow_unit(y1, uv1, y2, uv2):
         if use_strips:
             ctx = flow_strip.build_frame_context(y1, uv1, apron=apron, is_hdr=is_hdr)
             _, blurred, raw = flow_strip.pyramid_flow_strip(
@@ -99,64 +99,79 @@ def main() -> None:
                 low_h=low_h, low_w=low_w, res_scalar=rs, is_hdr=is_hdr,
                 num_layers=num_layers, apron=apron, dim_y=h, dim_x=w)
             c12 = warp_strip.build_warp_context(y1, uv1, apron=apron, is_hdr=is_hdr)
-            c21 = warp_strip.build_warp_context(y2, uv2, apron=apron, is_hdr=is_hdr)
-            for i in range(n_warps):
-                t = jnp.float32((i + 0.5) / n_warps)
-                oy, ouv = warp_strip.warp_frame_strip(
-                    c12, c21, fl_prev, t, jnp.float32(0.0), jnp.float32(white),
-                    res_scalar=rs, mode=2, is_hdr=is_hdr, dim_y=h, dim_x=w,
-                    apron=apron)
-                acc = acc + jnp.sum(oy[0, :8].astype(jnp.uint32)) + jnp.sum(
-                    ouv[0, :8].astype(jnp.uint32))
+            extra = c12["wpad_y"][0, 0].astype(jnp.uint32)
         else:
             _, blurred, raw = flow_ops.pyramid_flow(
                 y1, uv1, y2, uv2, radius, jnp.int32(8), jnp.int32(6),
                 low_h=low_h, low_w=low_w, res_scalar=rs, is_hdr=is_hdr,
                 num_layers=num_layers)
-            for i in range(n_warps):
-                t = jnp.float32((i + 0.5) / n_warps)
-                oy, ouv = warp_ops.warp_frame(
-                    y1, uv1, y2, uv2, fl_prev, t, jnp.float32(0.0),
-                    jnp.float32(white), res_scalar=rs, mode=2, is_hdr=is_hdr)
-                acc = acc + jnp.sum(oy[0, :8].astype(jnp.uint32)) + jnp.sum(
-                    ouv[0, :8].astype(jnp.uint32))
-        return acc + raw + blurred[0, 0, 0].astype(jnp.uint32), blurred
+            extra = jnp.uint32(0)
+        return raw + blurred[0, 0, 0].astype(jnp.uint32) + extra
 
-    n_warps_even = int(round(outputs_per_source))  # 24->60: units alternate 3/2
+    if use_strips:
+        wc12 = jax.vmap(lambda a, b: warp_strip.build_warp_context(
+            a, b, apron=apron, is_hdr=is_hdr))(f1y, f1uv)
+        wc21 = jax.vmap(lambda a, b: warp_strip.build_warp_context(
+            a, b, apron=apron, is_hdr=is_hdr))(f2y, f2uv)
+    else:
+        wc12 = wc21 = jnp.zeros((1,), jnp.uint8)  # placeholder args
+
+    def warp_unit(i12, i21, fl_prev, t):
+        if use_strips:
+            oy, ouv = warp_strip.warp_frame_strip(
+                i12, i21, fl_prev, t, jnp.float32(0.0), jnp.float32(white),
+                res_scalar=rs, mode=2, is_hdr=is_hdr, dim_y=h, dim_x=w, apron=apron)
+        else:
+            oy, ouv = warp_ops.warp_frame(
+                *i12, *i21, fl_prev, t, jnp.float32(0.0), jnp.float32(white),
+                res_scalar=rs, mode=2, is_hdr=is_hdr)
+        return jnp.sum(oy[0, :8].astype(jnp.uint32)) + jnp.sum(
+            ouv[0, :8].astype(jnp.uint32))
 
     @functools.partial(jax.jit, static_argnames=("k",))
-    def unit_chain(salt, *, k: int):
+    def flow_chain(salt, *, k: int):
+        acc = jnp.uint32(salt)
+        for _ in range(k):
+            y1 = f1y + (acc % 2).astype(salt_dtype)
+            r = jax.vmap(flow_unit)(y1, f1uv, f2y, f2uv)
+            acc = jax.lax.optimization_barrier(acc + jnp.sum(r))
+        return acc
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def warp_chain(salt, c12, c21, *, k: int):
+        # contexts passed as arguments, NOT closure constants (closure-captured
+        # device arrays re-upload per call on this platform).
         acc = jnp.uint32(salt)
         fl = flow_prev
         for i in range(k):
-            y1 = f1y + (acc % 2).astype(salt_dtype)  # serialize the chain
-            n_w = n_warps_even if i % 2 == 0 else max(n_warps_even - 1, 1)
-            res = jax.vmap(
-                lambda a, b, c, d, f: source_frame_unit(a, b, c, d, f, n_w)
-            )(y1, f1uv, f2y, f2uv, fl)
-            acc = acc + jnp.sum(res[0])
-            # Bound fusion scope between units: over-fused strip programs fault the
-            # TPU runtime (see PERF.md gotchas).
-            acc, fl = jax.lax.optimization_barrier((acc, res[1]))
+            fl = fl + (acc % 2).astype(jnp.int16)
+            t = jnp.float32(0.1 + 0.3 * (i % 3))
+            if use_strips:
+                r = jax.vmap(lambda a, b, f: warp_unit(a, b, f, t))(c12, c21, fl)
+            else:
+                r = jax.vmap(lambda ay, au, by, bu, f: warp_unit(
+                    (ay, au), (by, bu), f, t))(f1y, f1uv, f2y, f2uv, fl)
+            acc = jax.lax.optimization_barrier(acc + jnp.sum(r))
         return acc
 
-    def slope_ms(chain, k1, k2, reps=3):
+    def slope_ms(chain, k1, k2, reps=3, extra=()):
         times = {}
         salt = 0
         for k in (k1, k2):
-            int(chain(salt, k=k))  # compile + warm
+            int(chain(salt, *extra, k=k))  # compile + warm
             salt += 1
             best = float("inf")
             for _ in range(reps):
                 t0 = time.perf_counter()
-                int(chain(salt, k=k))
+                int(chain(salt, *extra, k=k))
                 salt += 1
                 best = min(best, time.perf_counter() - t0)
             times[k] = best
         return (times[k2] - times[k1]) / (k2 - k1) * 1e3
 
-    unit_ms = slope_ms(unit_chain, args.k1, args.k2)
-    per_source_ms = unit_ms / B
+    flow_ms = slope_ms(flow_chain, args.k1, args.k2)
+    warp_ms = slope_ms(warp_chain, args.k1, args.k2, extra=(wc12, wc21))
+    per_source_ms = (flow_ms + outputs_per_source * warp_ms) / B
     budget_ms = 1e3 / cfg["source_fps"]
     suffix = f"_x{B}streams" if B > 1 else ""
     result = {
