@@ -47,7 +47,7 @@ def main() -> None:
     ap.add_argument("--radius", type=int, default=16)
     ap.add_argument("--streams", type=int, default=1)
     ap.add_argument("--k1", type=int, default=1)
-    ap.add_argument("--k2", type=int, default=4)
+    ap.add_argument("--k2", type=int, default=3)
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
     cfg = CONFIGS[args.config]
@@ -154,7 +154,7 @@ def main() -> None:
             acc = jax.lax.optimization_barrier(acc + jnp.sum(r))
         return acc
 
-    def slope_ms(chain, k1, k2, reps=3, extra=()):
+    def slope_ms(chain, k1, k2, reps=2, extra=()):
         salt = 0
         for attempt in range(3):
             times = {}
