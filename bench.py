@@ -85,7 +85,7 @@ def main() -> None:
     salt_dtype = jnp.uint16 if is_hdr else jnp.uint8
     white = 65280.0 if is_hdr else 255.0
     radius = jnp.int32(args.radius)
-    num_layers = 8 if args.radius <= 8 else 16
+    num_layers = next(b for b in (5, 8, 12, 16) if args.radius <= b)
 
     # Two separately-jitted chains (fusing a whole source-frame unit into one
     # program can fault the TPU runtime; the engine also runs these as separate
