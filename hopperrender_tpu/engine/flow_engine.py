@@ -134,7 +134,8 @@ class OpticalFlowEngine:
         self._frames_uv = [self._frames_uv[1], self._frames_uv[2], uv_dev]
         if self.use_strips:
             ctx = flow_strip.build_frame_context(
-                y_dev, uv_dev, apron=self._apron, is_hdr=self.is_hdr)
+                y_dev, uv_dev, apron=self._apron, is_hdr=self.is_hdr,
+                res_scalar=self.res_scalar if self.res_scalar <= 4 else None)
             self._ctxs = [self._ctxs[1], self._ctxs[2], ctx]
         if self.use_warp_strips:
             wctx = warp_strip.build_warp_context(

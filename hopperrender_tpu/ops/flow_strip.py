@@ -100,13 +100,28 @@ def _pad_to_multiple(x: jnp.ndarray, axis: int, m: int) -> jnp.ndarray:
     return jax.lax.pad(x, jnp.zeros((), x.dtype), cfg)
 
 
-@functools.partial(jax.jit, static_argnames=("apron", "is_hdr"))
-def build_frame_context(y: jnp.ndarray, uv: jnp.ndarray, *, apron: int, is_hdr: bool):
+def _phase_decimate(plane: jnp.ndarray, p: int) -> jnp.ndarray:
+    """Fold 2^rs-phase decimation into rows: out[(py*p + px)*Hd + i, j] ==
+    plane[i*p + py, j*p + px]. Used by the coarse-window patch gather."""
+    if p == 1:
+        return plane
+    hp = _pad_to_multiple(_pad_to_multiple(plane, 0, p), 1, p)
+    hd, wd = hp.shape[0] // p, hp.shape[1] // p
+    return (hp.reshape(hd, p, wd, p)
+            .transpose(1, 3, 0, 2)
+            .reshape(p * p * hd, wd))
+
+
+@functools.partial(jax.jit, static_argnames=("apron", "is_hdr", "res_scalar"))
+def build_frame_context(y: jnp.ndarray, uv: jnp.ndarray, *, apron: int, is_hdr: bool,
+                        res_scalar: int | None = None):
     """Derived planes for strip gathering, built once per source frame:
       pad_y    (Hp, Wp)      mirror-apron luma
       pad_y_t  (Wp, Hp)      transposed (for Y-axis candidate steps)
       pad_uv   (Hc_p, Wc_p)  chroma (u,v) PAIRS: one element = one u,v pair
       pad_u_t / pad_v_t      transposed split chroma planes
+      dec_y / dec_uv         phase-decimated planes for coarse-window patch
+                             gathers (only when res_scalar is given and <= 4)
     All returned in their natural dtype; block views are bitcast at gather time."""
     a = apron
     ac = a // 2
@@ -127,8 +142,13 @@ def build_frame_context(y: jnp.ndarray, uv: jnp.ndarray, *, apron: int, is_hdr: 
     v_plane = uv[:, 1::2]
     pad_u_t = _mirror_pad_1d_axis(_mirror_pad_1d_axis(u_plane, ac, 0), ac, 1).T
     pad_v_t = _mirror_pad_1d_axis(_mirror_pad_1d_axis(v_plane, ac, 0), ac, 1).T
-    return dict(pad_y=pad_y, pad_y_t=pad_y_t, pad_uv=pad_uv,
-                pad_u_t=pad_u_t, pad_v_t=pad_v_t)
+    ctx = dict(pad_y=pad_y, pad_y_t=pad_y_t, pad_uv=pad_uv,
+               pad_u_t=pad_u_t, pad_v_t=pad_v_t)
+    if res_scalar is not None and 1 <= res_scalar <= 4:
+        assert a % (1 << res_scalar) == 0 and ac % (1 << (res_scalar - 1)) == 0
+        ctx["dec_y"] = _phase_decimate(pad_y, 1 << res_scalar)
+        ctx["dec_uv"] = _phase_decimate(pad_uv, 1 << (res_scalar - 1))
+    return ctx
 
 
 def _strip_gather(plane: jnp.ndarray, row_idx: jnp.ndarray, base: jnp.ndarray,
@@ -344,7 +364,134 @@ def delta_window_sums_strip(
         u_s = chroma_from(ctx["pad_u_t"])
         v_s = chroma_from(ctx["pad_v_t"])
 
-    # ---- identical cost assembly (mirrors flow.delta_window_sums) --------------
+    return _cost_tail(samp, u_s, v_s, f2y, f2uv, offsets, off_x_lw, off_y_lw,
+                      radius, delta_scalar, neighbor_scalar,
+                      window_size=w, res_scalar=rs, iteration=iteration, step=step,
+                      is_hdr=is_hdr, num_layers=L, dim_y=dim_y, dim_x=dim_x)
+
+
+def _window_offsets(offsets, radius, num_layers, window_size, step):
+    """Per-(layer, window) candidate offsets with int16 wraparound (window-constant
+    invariant; representatives at window origins)."""
+    L = num_layers
+    w = window_size
+    lz = jnp.arange(L, dtype=jnp.int32)
+    rel = flow_ops._signed_square_i16(((lz % radius) - radius // 2).astype(jnp.int16))
+    win_x = offsets[0][::w, ::w]
+    win_y = offsets[1][::w, ::w]
+    n_wy, n_wx = win_x.shape
+    if step % 2 == 0:
+        off_x = (win_x[None] + rel[:, None, None]).astype(jnp.int16)
+        off_y = jnp.broadcast_to(win_y, (L, n_wy, n_wx))
+    else:
+        off_x = jnp.broadcast_to(win_x, (L, n_wy, n_wx))
+        off_y = (win_y[None] + rel[:, None, None]).astype(jnp.int16)
+    return off_x, off_y
+
+
+def _patch_gather(plane, row0, col0, w: int):
+    """Gather (w, w) patches at per-descriptor starts: out (N, w, w)."""
+    starts = jnp.stack([row0.reshape(-1), col0.reshape(-1)], axis=-1)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0, 1))
+    return jax.lax.gather(plane, starts, dn, slice_sizes=(w, w),
+                          mode=jax.lax.GatherScatterMode.CLIP)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("window_size", "res_scalar", "iteration", "step", "is_hdr",
+                     "num_layers", "apron", "dim_y", "dim_x"),
+)
+def delta_window_sums_patch(
+    ctx: dict,
+    f2y: jnp.ndarray,
+    f2uv: jnp.ndarray,
+    offsets: jnp.ndarray,
+    radius: jnp.ndarray,
+    delta_scalar: jnp.ndarray,
+    neighbor_scalar: jnp.ndarray,
+    *,
+    window_size: int,
+    res_scalar: int,
+    iteration: int,
+    step: int,
+    is_hdr: bool,
+    num_layers: int,
+    apron: int,
+    dim_y: int,
+    dim_x: int,
+) -> jnp.ndarray:
+    """Coarse-window twin of delta_window_sums_strip: ONE (w, w) patch gather per
+    (layer, window) from phase-decimated planes (a window's samples form a stride-
+    2^rs grid = a contiguous patch in one phase plane). Cheaper than strips when the
+    descriptor count L x n_windows is small (w >= ~32); identical outputs."""
+    assert res_scalar >= 1
+    w = window_size
+    rs = res_scalar
+    L = num_layers
+    a = apron
+    ac = a // 2
+    low_h, low_w = offsets.shape[1:]
+    n_wy = -(-low_h // w)
+    n_wx = -(-low_w // w)
+    lh_pad, lw_pad = n_wy * w, n_wx * w
+    P = 1 << rs
+    Pc = 1 << (rs - 1)
+
+    off_x_lw, off_y_lw = _window_offsets(offsets, radius, L, w, step)
+    ox = off_x_lw.astype(jnp.int32)
+    oy = off_y_lw.astype(jnp.int32)
+    wy_base = (jnp.arange(n_wy, dtype=jnp.int32)[None, :, None] * (w << rs))
+    wx_base = (jnp.arange(n_wx, dtype=jnp.int32)[None, None, :] * (w << rs))
+
+    # Luma: pos = window_origin<<rs + off + apron; phase/quotient split.
+    pos_y = wy_base + oy + a
+    pos_x = wx_base + ox + a
+    hd = ctx["dec_y"].shape[0] // (P * P)
+    row = ((pos_y & (P - 1)) * P + (pos_x & (P - 1))) * hd + (pos_y >> rs)
+    col = pos_x >> rs
+    patches = _patch_gather(ctx["dec_y"], row, col, w)
+    samp = (patches.reshape(L, n_wy, n_wx, w, w)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(L, lh_pad, lw_pad)[:, :low_h, :low_w].astype(jnp.int32))
+
+    # Chroma pairs: pos_c = (window_origin<<(rs-1)) + (off >> 1) + chroma apron.
+    pos_cy = (wy_base >> 1) + (oy >> 1) + ac
+    pos_cx = (wx_base >> 1) + (ox >> 1) + ac
+    hcd = ctx["dec_uv"].shape[0] // (Pc * Pc)
+    if Pc == 1:
+        c_row, c_col = pos_cy, pos_cx
+    else:
+        c_row = ((pos_cy & (Pc - 1)) * Pc + (pos_cx & (Pc - 1))) * hcd \
+            + (pos_cy >> (rs - 1))
+        c_col = pos_cx >> (rs - 1)
+    c_patches = _patch_gather(ctx["dec_uv"], c_row, c_col, w)
+    pair = (c_patches.reshape(L, n_wy, n_wx, w, w)
+            .transpose(0, 1, 3, 2, 4)
+            .reshape(L, lh_pad, lw_pad)[:, :low_h, :low_w])
+    u_s, v_s = _unpack_pairs(pair, False)
+
+    return _cost_tail(samp, u_s, v_s, f2y, f2uv, offsets, off_x_lw, off_y_lw,
+                      radius, delta_scalar, neighbor_scalar,
+                      window_size=w, res_scalar=rs, iteration=iteration, step=step,
+                      is_hdr=is_hdr, num_layers=L, dim_y=dim_y, dim_x=dim_x)
+
+
+def _cost_tail(samp, u_s, v_s, f2y, f2uv, offsets, off_x_lw, off_y_lw,
+               radius, delta_scalar, neighbor_scalar, *, window_size, res_scalar,
+               iteration, step, is_hdr, num_layers, dim_y, dim_x):
+    """Shared cost assembly (mirrors flow.delta_window_sums): delta + biases +
+    window sums from reconstructed per-pixel frame-1 samples."""
+    w = window_size
+    rs = res_scalar
+    L = num_layers
+    low_h, low_w = offsets.shape[1:]
+    n_wy = -(-low_h // w)
+    n_wx = -(-low_w // w)
+    lw_pad = n_wx * w
+    lh_pad = n_wy * w
+
     shift = 8 if is_hdr else 0
     cxg = jnp.arange(low_w, dtype=jnp.int32)[None, None, :]
     cyg = jnp.arange(low_h, dtype=jnp.int32)[None, :, None]
@@ -403,7 +550,7 @@ def delta_window_sums_strip(
     pad_w = lw_pad - low_w
     padded = jnp.pad(total, ((0, 0), (0, pad_h), (0, pad_w)))
     sums = padded.reshape(L, n_wy, w, n_wx, w).sum(axis=(2, 4), dtype=jnp.uint32)
-    lz3 = lz[:, None, None]
+    lz3 = jnp.arange(L, dtype=jnp.int32)[:, None, None]
     return jnp.where(lz3 < radius, sums, UINT32_MAX)
 
 
@@ -443,7 +590,19 @@ def pyramid_flow_strip(
 
     for iteration, window in flow_ops.window_schedule(low_h, low_w, num_iterations):
         for step in (0, 1):
-            sums = delta_window_sums_strip(
+            # Coarse windows: patch gathers (one descriptor per layer x window);
+            # fine windows: strips (descriptor count would explode otherwise).
+            n_desc = num_layers * -(-low_h // window) * -(-low_w // window)
+            if "dec_y" in ctx1:
+                hd = ctx1["dec_y"].shape[0] // (1 << (2 * res_scalar))
+                hcd = ctx1["dec_uv"].shape[0] // (1 << (2 * (res_scalar - 1)))
+                fits = window <= min(hd, ctx1["dec_y"].shape[1],
+                                     hcd, ctx1["dec_uv"].shape[1])
+            else:
+                fits = False
+            use_patch = fits and n_desc <= 4096
+            kernel = delta_window_sums_patch if use_patch else delta_window_sums_strip
+            sums = kernel(
                 ctx1, f2y, f2uv, offsets, radius, delta_scalar, neighbor_scalar,
                 window_size=window, res_scalar=res_scalar, iteration=iteration,
                 step=step, is_hdr=is_hdr, num_layers=num_layers, apron=apron,

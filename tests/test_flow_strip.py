@@ -108,3 +108,57 @@ def test_strip_bucket_bit_identity(rng, radius, bucket):
     np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
     np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
     assert int(r1) == int(r2)
+
+
+@pytest.mark.parametrize("is_hdr", [False, True])
+@pytest.mark.parametrize("step", [0, 1])
+@pytest.mark.parametrize("window", [4, 8, 16])
+@pytest.mark.parametrize("rs", [1, 2])
+def test_patch_kernel_matches_reference(rng, is_hdr, step, window, rs):
+    """Coarse-window patch gather vs the reference formulation — exact."""
+    h, w = 32 << (rs - 1), 48 << (rs - 1)
+    low_h, low_w = 16, 24
+    f1y, f1uv = make_frame(rng, h, w, is_hdr)
+    f2y, f2uv = make_frame(rng, h, w, is_hdr)
+    grid = make_flow(rng, -(-low_h // window), -(-low_w // window), max_mag=12)
+    offsets = np.repeat(np.repeat(grid, window, 1), window, 2)[:, :low_h, :low_w]
+    apron = flow_strip.apron_for(low_h, low_w)
+    ctx = flow_strip.build_frame_context(
+        jnp.asarray(f1y), jnp.asarray(f1uv), apron=apron, is_hdr=is_hdr,
+        res_scalar=rs)
+    got = flow_strip.delta_window_sums_patch(
+        ctx, jnp.asarray(f2y), jnp.asarray(f2uv), jnp.asarray(offsets),
+        jnp.int32(9), jnp.int32(8), jnp.int32(6),
+        window_size=window, res_scalar=rs, iteration=4, step=step,
+        is_hdr=is_hdr, num_layers=16, apron=apron, dim_y=h, dim_x=w)
+    want = flow_ops.delta_window_sums(
+        jnp.asarray(f1y), jnp.asarray(f1uv), jnp.asarray(f2y), jnp.asarray(f2uv),
+        jnp.asarray(offsets), jnp.int32(9), jnp.int32(8), jnp.int32(6),
+        window_size=window, res_scalar=rs, iteration=4, step=step,
+        is_hdr=is_hdr, num_layers=16)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_pyramid_with_patch_routing_matches_golden(rng):
+    """Full pyramid with dec planes present (patch kernels on coarse windows)."""
+    h, w = 64, 96
+    rs, low_h, low_w = 2, 16, 24
+    f1y, f1uv = make_frame(rng, h, w)
+    f2y, f2uv = make_frame(rng, h, w)
+    apron = flow_strip.apron_for(low_h, low_w)
+    ctx = flow_strip.build_frame_context(
+        jnp.asarray(f1y), jnp.asarray(f1uv), apron=apron, is_hdr=False,
+        res_scalar=rs)
+    assert "dec_y" in ctx
+    offsets, blurred, raw = flow_strip.pyramid_flow_strip(
+        ctx, jnp.asarray(f2y), jnp.asarray(f2uv),
+        jnp.int32(9), jnp.int32(8), jnp.int32(6),
+        low_h=low_h, low_w=low_w, res_scalar=rs, is_hdr=False,
+        apron=apron, dim_y=h, dim_x=w)
+    params = golden.FlowParams(search_radius=9, res_scalar=rs)
+    g_off, g_blur, g_delta = golden.calculate_optical_flow(
+        f1y, f1uv, f2y, f2uv, low_h, low_w, params)
+    np.testing.assert_array_equal(np.asarray(offsets), g_off)
+    np.testing.assert_array_equal(np.asarray(blurred), g_blur)
+    norm = low_h * low_w * 10
+    assert int(raw) // norm == g_delta
