@@ -93,7 +93,8 @@ def main() -> None:
     # B = one warp. per_source = A + outputs_per_source * B.
     def flow_unit(y1, uv1, y2, uv2):
         if use_strips:
-            ctx = flow_strip.build_frame_context(y1, uv1, apron=apron, is_hdr=is_hdr)
+            ctx = flow_strip.build_frame_context(y1, uv1, apron=apron, is_hdr=is_hdr,
+                                                 res_scalar=rs if rs <= 4 else None)
             _, blurred, raw = flow_strip.pyramid_flow_strip(
                 ctx, y2, uv2, radius, jnp.int32(8), jnp.int32(6),
                 low_h=low_h, low_w=low_w, res_scalar=rs, is_hdr=is_hdr,
@@ -107,14 +108,6 @@ def main() -> None:
                 num_layers=num_layers)
             extra = jnp.uint32(0)
         return raw + blurred[0, 0, 0].astype(jnp.uint32) + extra
-
-    if use_strips:
-        wc12 = jax.vmap(lambda a, b: warp_strip.build_warp_context(
-            a, b, apron=apron, is_hdr=is_hdr))(f1y, f1uv)
-        wc21 = jax.vmap(lambda a, b: warp_strip.build_warp_context(
-            a, b, apron=apron, is_hdr=is_hdr))(f2y, f2uv)
-    else:
-        wc12 = wc21 = jnp.zeros((1,), jnp.uint8)  # placeholder args
 
     def warp_unit(i12, i21, fl_prev, t):
         if use_strips:
@@ -133,38 +126,52 @@ def main() -> None:
         acc = jnp.uint32(salt)
         for _ in range(k):
             y1 = f1y + (acc % 2).astype(salt_dtype)
-            r = jax.vmap(flow_unit)(y1, f1uv, f2y, f2uv)
-            acc = jax.lax.optimization_barrier(acc + jnp.sum(r))
+            if B == 1:  # vmap changes gather lowering; match the engine's B=1 path
+                r = flow_unit(y1[0], f1uv[0], f2y[0], f2uv[0])
+            else:
+                r = jnp.sum(jax.vmap(flow_unit)(y1, f1uv, f2y, f2uv))
+            acc = jax.lax.optimization_barrier(acc + r)
         return acc
 
     @functools.partial(jax.jit, static_argnames=("k",))
-    def warp_chain(salt, c12, c21, *, k: int):
-        # contexts passed as arguments, NOT closure constants (closure-captured
-        # device arrays re-upload per call on this platform).
+    def warp_chain(salt, *, k: int):
+        # Contexts are built IN-CHAIN (building once and passing device pytrees as
+        # arguments measures pathologically on this platform); the slope therefore
+        # includes one pair of warp-context builds per warp — a conservative
+        # overcount (the engine builds them once per SOURCE frame).
         acc = jnp.uint32(salt)
         fl = flow_prev
+        def one(y1, uv1, y2, uv2, f, t):
+            if use_strips:
+                c12 = warp_strip.build_warp_context(y1, uv1, apron=apron,
+                                                    is_hdr=is_hdr)
+                c21 = warp_strip.build_warp_context(y2, uv2, apron=apron,
+                                                    is_hdr=is_hdr)
+                return warp_unit(c12, c21, f, t)
+            return warp_unit((y1, uv1), (y2, uv2), f, t)
         for i in range(k):
             fl = fl + (acc % 2).astype(jnp.int16)
             t = jnp.float32(0.1 + 0.3 * (i % 3))
-            if use_strips:
-                r = jax.vmap(lambda a, b, f: warp_unit(a, b, f, t))(c12, c21, fl)
+            y1 = f1y + (acc % 2).astype(salt_dtype)
+            if B == 1:
+                r = one(y1[0], f1uv[0], f2y[0], f2uv[0], fl[0], t)
             else:
-                r = jax.vmap(lambda ay, au, by, bu, f: warp_unit(
-                    (ay, au), (by, bu), f, t))(f1y, f1uv, f2y, f2uv, fl)
-            acc = jax.lax.optimization_barrier(acc + jnp.sum(r))
+                r = jnp.sum(jax.vmap(lambda a, b, c, d, f: one(a, b, c, d, f, t))(
+                    y1, f1uv, f2y, f2uv, fl))
+            acc = jax.lax.optimization_barrier(acc + r)
         return acc
 
-    def slope_ms(chain, k1, k2, reps=2, extra=()):
+    def slope_ms(chain, k1, k2, reps=2):
         salt = 0
         for attempt in range(3):
             times = {}
             for k in (k1, k2):
-                int(chain(salt, *extra, k=k))  # compile + warm
+                int(chain(salt, k=k))  # compile + warm
                 salt += 1
                 best = float("inf")
                 for _ in range(reps):
                     t0 = time.perf_counter()
-                    int(chain(salt, *extra, k=k))
+                    int(chain(salt, k=k))
                     salt += 1
                     best = min(best, time.perf_counter() - t0)
                 times[k] = best
@@ -177,7 +184,7 @@ def main() -> None:
         return times[k2] / k2 * 1e3
 
     flow_ms = slope_ms(flow_chain, args.k1, args.k2)
-    warp_ms = slope_ms(warp_chain, args.k1, args.k2, extra=(wc12, wc21))
+    warp_ms = slope_ms(warp_chain, args.k1, args.k2)
     per_source_ms = (flow_ms + outputs_per_source * warp_ms) / B
     budget_ms = 1e3 / cfg["source_fps"]
     suffix = f"_x{B}streams" if B > 1 else ""
@@ -192,6 +199,7 @@ def main() -> None:
             f"[{args.config} x{B}] {w}x{h} {'HDR' if is_hdr else 'SDR'} radius "
             f"{args.radius} {'strip' if use_strips else 'reference'} path on "
             f"{jax.devices()[0]} (slope k={args.k1}->{args.k2})\n"
+            f"  flow+ctx {flow_ms:.3f} ms; warp+wctx {warp_ms:.3f} ms\n"
             f"  per source frame (ctx builds + flow + {outputs_per_source:.1f} warps):"
             f" {per_source_ms:8.3f} ms/stream "
             f"(budget {budget_ms:.3f} ms, {budget_ms / per_source_ms:.2f}x realtime)",
