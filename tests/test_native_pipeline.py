@@ -95,3 +95,24 @@ def test_pipelined_server_error_propagates(rng):
     pipe.close()
     with pytest.raises(RuntimeError, match="engine thread failed"):
         list(pipe.outputs(timeout=10))
+
+
+def test_pipelined_server_strip_path(rng):
+    """Pipeline end-to-end at a geometry where the strip kernels are active
+    (res_scalar >= 1): outputs must be genuine interpolations."""
+    from hopperrender_tpu.config import Settings
+
+    h, w = 72, 96  # max_calc_res 36 -> rs=1
+    server = FrameServer(w, h, source_fps=24.0,
+                         settings=Settings(target_fps=60.0, use_display_fps=False,
+                                           max_calc_res=36))
+    pipe = PipelinedServer(server, input_slots=4, output_slots=16)
+    for i in range(5):
+        y, uv = nv12.synthetic_frame(rng, h, w, motion_x=i * 2)
+        pipe.feed(y, uv)
+    pipe.close()
+    outs = list(pipe.outputs(timeout=60))
+    pipe.join()
+    assert server.engine.use_strips and server.engine.use_warp_strips
+    assert any(o.interpolated for o in outs)
+    assert outs[0].y.shape == (h, w)
