@@ -83,6 +83,12 @@ class Settings:
     max_calc_res: int = MAX_CALC_RES
     scene_change_threshold: int = DEFAULT_SCENE_CHANGE_THRESHOLD
     buffer_frames: int = DEFAULT_BUFFER_FRAMES
+    # Test-mode knobs (compile-time in the reference): auto_quality disables the
+    # search-radius scaler for reproducible measurements (ref: CHANGELOG.md Test
+    # Mode, config.h:12); num_iterations pins the pyramid depth (0 = auto,
+    # ref: config.h:6).
+    auto_quality: bool = AUTO_SEARCH_RADIUS_ADJUST
+    num_iterations: int = NUM_ITERATIONS
 
     def validate(self) -> "Settings":
         """Range checks matching the property page (ref: HopperRenderSettings.cpp:370-378)."""
@@ -104,6 +110,8 @@ class Settings:
             raise ValueError(f"max_calc_res must be >= 32: {self.max_calc_res}")
         if not 0 <= self.frame_output <= 6:
             raise ValueError(f"frame_output out of range [0,6]: {self.frame_output}")
+        if self.num_iterations < 0:
+            raise ValueError(f"num_iterations must be >= 0: {self.num_iterations}")
         return self
 
     def save(self, path: str) -> None:

@@ -75,6 +75,7 @@ class OpticalFlowEngine:
         black_level: float = float(config.DEFAULT_BLACK_LEVEL),
         white_level: float = float(config.DEFAULT_WHITE_LEVEL),
         max_calc_res: int = config.MAX_CALC_RES,
+        num_iterations: int = config.NUM_ITERATIONS,
         device=None,
     ):
         if frame_height % 2 or frame_width % 2:
@@ -86,6 +87,7 @@ class OpticalFlowEngine:
             frame_height, frame_width, max_calc_res
         )
         self.search_radius = config.MIN_SEARCH_RADIUS
+        self.num_iterations = num_iterations  # 0 = auto (ref: config.h:6)
         self.delta_scalar = delta_scalar
         self.neighbor_scalar = neighbor_scalar
         self.black_level = black_level
@@ -160,7 +162,7 @@ class OpticalFlowEngine:
                 self._ctxs[1], self._frames_y[2], self._frames_uv[2], *scalars,
                 low_h=self.low_h, low_w=self.low_w, res_scalar=self.res_scalar,
                 is_hdr=self.is_hdr, num_layers=num_layers, apron=self._apron,
-                dim_y=self.h, dim_x=self.w,
+                dim_y=self.h, dim_x=self.w, num_iterations=self.num_iterations,
             )
         else:
             _, blurred, delta_raw = flow_ops.pyramid_flow(
@@ -168,6 +170,7 @@ class OpticalFlowEngine:
                 self._frames_y[2], self._frames_uv[2], *scalars,
                 low_h=self.low_h, low_w=self.low_w, res_scalar=self.res_scalar,
                 is_hdr=self.is_hdr, num_layers=num_layers,
+                num_iterations=self.num_iterations,
             )
         self._blurred = [self._blurred[1], blurred]
         self._pending_delta_raw = delta_raw

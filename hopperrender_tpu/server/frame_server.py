@@ -113,7 +113,7 @@ class FrameServer:
             activated=self.settings.activated,
             buffer_frames=self.settings.buffer_frames,
         )
-        self.scaler = AutoQualityScaler()
+        self.scaler = AutoQualityScaler(enabled=self.settings.auto_quality)
         self.engine: OpticalFlowEngine | None = None  # lazy (ref: HopperRender.cpp:906-925)
         self._frame_index = 0
         # 5 s display refresh re-poll when following the display
@@ -143,6 +143,7 @@ class FrameServer:
             black_level=float(self.settings.black_level),
             white_level=float(self.settings.white_level),
             max_calc_res=self.settings.max_calc_res,
+            num_iterations=self.settings.num_iterations,
             device=self._device,
         )
         return eng
@@ -156,6 +157,7 @@ class FrameServer:
             self.cadence.set_activated(st.activated)
         self.cadence.buffer_frames = st.buffer_frames
         self.cadence.set_target_fps(self._resolve_target_fps())
+        self.scaler.enabled = st.auto_quality
         if self.engine is not None:  # (ref: HopperRender.cpp:1385-1390)
             self.engine.delta_scalar = st.delta_scalar
             self.engine.neighbor_scalar = st.neighbor_scalar

@@ -205,3 +205,17 @@ def test_display_poll_updates_target(rng, monkeypatch):
     srv._display_poller._last_poll -= 6.0  # age the window
     srv.push_frame(y, uv)
     assert srv.cadence.target_frame_time == int(1e7 / 120.0)
+
+
+def test_test_mode_settings(rng):
+    """auto_quality=False pins the search radius (Test Mode parity); num_iterations
+    pins the pyramid depth (NUM_ITERATIONS parity, ref: config.h:6,12)."""
+    srv = make_server(settings=Settings(target_fps=60.0, use_display_fps=False,
+                                        auto_quality=False, num_iterations=3))
+    for y, uv in stream_frames(rng, 5):
+        srv.push_frame(y, uv)
+    assert srv.engine.search_radius == 5  # never auto-adjusted
+    assert srv.engine.num_iterations == 3
+    # Live re-enable.
+    srv.update_settings(auto_quality=True)
+    assert srv.scaler.enabled
