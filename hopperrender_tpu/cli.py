@@ -169,7 +169,11 @@ def main(argv: list[str] | None = None) -> int:
     p.set_defaults(func=cmd_settings)
 
     args = ap.parse_args(argv)
-    return args.func(args)
+    try:
+        return args.func(args)
+    except (FileNotFoundError, ValueError, RuntimeError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
 
 
 if __name__ == "__main__":
