@@ -92,6 +92,10 @@ class Settings:
 
     def validate(self) -> "Settings":
         """Range checks matching the property page (ref: HopperRenderSettings.cpp:370-378)."""
+        if not self.target_fps > 0:
+            # The reference guards dTargetFPS > 0.0 before using it
+            # (ref: HopperRender.cpp:1376-1380); fps_to_frame_time divides by it.
+            raise ValueError(f"target_fps must be > 0: {self.target_fps}")
         if not 0 <= self.delta_scalar <= 10:
             raise ValueError(f"delta_scalar out of range [0,10]: {self.delta_scalar}")
         if not 0 <= self.neighbor_scalar <= 10:

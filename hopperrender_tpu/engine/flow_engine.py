@@ -37,6 +37,55 @@ from hopperrender_tpu.ops import warp as warp_ops
 from hopperrender_tpu.ops import warp_strip
 
 
+def estimate_hbm_bytes(frame_height: int, frame_width: int, *, is_hdr: bool,
+                       max_calc_res: int = config.MAX_CALC_RES) -> int:
+    """Device-memory footprint estimate for one engine instance: the 3-deep frame
+    ring, the per-frame flow/warp contexts, flow double buffer, and pyramid working
+    set. The TPU analogue of the reference's pre-build VRAM formula
+    (ref: opticalFlowCalc.cpp:45-110 detectDevices)."""
+    h, w = frame_height, frame_width
+    e = 2 if is_hdr else 1
+    rs, low_h, low_w = config.calc_flow_dims(h, w, max_calc_res)
+    a = flow_strip.apron_for(low_h, low_w) if rs >= 1 else 0
+    frames = 3 * (h * w + (h // 2) * w) * e
+    # Flow contexts are uint8-based for both bit depths (HDR pre-shifts >>8):
+    # pad_y + pad_y_t + dec_y + chroma pair/transposed/decimated planes.
+    pad_y = (h + 2 * a) * (w + 2 * a)
+    pad_c = (h // 2 + a) * (w // 2 + a)
+    flow_ctx = 3 * pad_y + 6 * pad_c
+    # Warp contexts in natural depth: luma pad + two stacked chroma pair planes.
+    warp_ctx = (pad_y + 2 * (h // 2 + 2 * a) * (w // 2 + a) * 2) * e
+    contexts = 3 * (flow_ctx + warp_ctx)
+    flow_bufs = 2 * 2 * low_h * low_w * 2
+    # Pyramid working set: cost volume + strip intermediates (uint32 per layer px).
+    working = config.MAX_SEARCH_RADIUS * low_h * low_w * 4 * 6
+    # Warp output + blend intermediates.
+    working += 4 * (h * w + (h // 2) * w) * 4
+    return frames + contexts + flow_bufs + working
+
+
+def check_device_memory(frame_height: int, frame_width: int, *, is_hdr: bool,
+                        max_calc_res: int, device) -> None:
+    """Fail fast with a clear message when the engine's footprint cannot fit the
+    device (ref: opticalFlowCalc.cpp:45-110 validates VRAM before building)."""
+    need = estimate_hbm_bytes(frame_height, frame_width, is_hdr=is_hdr,
+                              max_calc_res=max_calc_res)
+    limit = None
+    try:
+        stats = device.memory_stats()
+        if stats:
+            limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+    except Exception:  # backend without memory stats (CPU, tunneled) — skip
+        return
+    if limit and need > 0.95 * limit:
+        raise RuntimeError(
+            f"engine footprint ~{need / 1e9:.2f} GB exceeds device memory "
+            f"{limit / 1e9:.2f} GB for {frame_width}x{frame_height} "
+            f"{'HDR' if is_hdr else 'SDR'}; reduce the input resolution or "
+            f"stream in SDR"
+        )
+
+
 class CalcTimeWindow:
     """avg/peak over CALC_TIME_INTERVAL frames (ref: opticalFlowCalcSDR.cpp:128-138)."""
 
@@ -97,7 +146,14 @@ class OpticalFlowEngine:
         self._pending_delta_raw = None  # device scalar, fetched lazily
         self.ofc_time = CalcTimeWindow()
         self.warp_time = CalcTimeWindow()
+        # Honest device timing: block_until_ready returns at *dispatch* on some
+        # runtimes (PERF.md), which would feed the auto-quality scaler ~0 ms
+        # readings and pin it at max radius. A 1-element device->host fetch forces
+        # completion everywhere (microseconds on a local host).
+        self.timing_fetch = True
         self._device = device or jax.devices()[0]
+        check_device_memory(frame_height, frame_width, is_hdr=is_hdr,
+                            max_calc_res=max_calc_res, device=self._device)
 
         dtype = jnp.uint16 if is_hdr else jnp.uint8
         zero_y = jnp.zeros((self.h, self.w), dtype)
@@ -174,8 +230,13 @@ class OpticalFlowEngine:
             )
         self._blurred = [self._blurred[1], blurred]
         self._pending_delta_raw = delta_raw
-        # Timing: dispatch-to-done around the flow computation (event-profiling analogue).
-        blurred.block_until_ready()
+        # Timing: dispatch-to-done around the flow computation (event-profiling
+        # analogue). The 1-element fetch forces completion even on runtimes where
+        # block_until_ready returns at dispatch (PERF.md).
+        if self.timing_fetch:
+            int(blurred[0, 0, 0])
+        else:
+            blurred.block_until_ready()
         self.ofc_time.record(time.perf_counter() - self._ofc_start)
 
     def fetch_total_frame_delta(self) -> int:
@@ -216,7 +277,10 @@ class OpticalFlowEngine:
                 jnp.float32(black), jnp.float32(white),
                 res_scalar=self.res_scalar, mode=mode, is_hdr=self.is_hdr,
             )
-        uv.block_until_ready()
+        if self.timing_fetch:
+            int(uv[0, 0])
+        else:
+            uv.block_until_ready()
         self.warp_time.record(time.perf_counter() - start)
         return y, uv
 
@@ -230,7 +294,10 @@ class OpticalFlowEngine:
             self._frames_y[idx], self._frames_uv[idx],
             jnp.float32(black), jnp.float32(white), is_hdr=self.is_hdr,
         )
-        uv.block_until_ready()
+        if self.timing_fetch:
+            int(uv[0, 0])
+        else:
+            uv.block_until_ready()
         self.warp_time.record(time.perf_counter() - start)
         return y, uv
 

@@ -207,6 +207,12 @@ class FrameRing:
                 self._closed = True
                 self._cond.notify_all()
 
+    def is_closed(self) -> bool:
+        if self._lib:
+            return bool(self._lib.hrt_ring_closed(self._ring))
+        with self._cond:
+            return self._closed
+
     def __del__(self):
         try:
             if getattr(self, "_lib", None) and getattr(self, "_ring", None):

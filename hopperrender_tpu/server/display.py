@@ -72,10 +72,12 @@ class DisplayRatePoller:
         self._last_poll = 0.0
         self.rate: float | None = None
 
-    def poll(self, now: float | None = None) -> float | None:
-        """Returns the fresh rate when a (re-)probe happened, else None."""
+    def poll(self, now: float | None = None, *, force: bool = False) -> float | None:
+        """Returns the fresh rate when a (re-)probe happened, else None. `force`
+        probes immediately (the reference's useDisplayRefreshRate() on a live
+        settings change, ref: HopperRender.cpp:1376-1380)."""
         now = time.monotonic() if now is None else now
-        if now - self._last_poll < self.interval and self._last_poll != 0.0:
+        if not force and now - self._last_poll < self.interval and self._last_poll != 0.0:
             return None
         self._last_poll = now
         self.rate = self._probe()

@@ -150,12 +150,25 @@ class FrameServer:
 
     def update_settings(self, **kwargs) -> None:
         """Live settings update (ref: UpdateUserSettings HopperRender.cpp:1355-1435).
-        Accepts any Settings field; applies engine tunables without rebuild."""
-        st = dataclasses.replace(self.settings, **kwargs).validate()
+        Accepts any Settings field. Per-frame tunables apply without a rebuild;
+        geometry-affecting fields (max_calc_res) rebuild the engine lazily on the
+        next frame so the change actually takes effect."""
+        old = self.settings
+        st = dataclasses.replace(old, **kwargs).validate()
         self.settings = st
         if "activated" in kwargs:
             self.cadence.set_activated(st.activated)
         self.cadence.buffer_frames = st.buffer_frames
+        # Display-rate following starts/stops live: the reference re-queries the
+        # refresh rate inside UpdateUserSettings (ref: HopperRender.cpp:1376-1380).
+        if st.use_display_fps != old.use_display_fps:
+            if st.use_display_fps and self._display_poller is None:
+                self._display_poller = DisplayRatePoller()
+                rate = self._display_poller.poll(force=True)
+                if rate:
+                    self._display_fps = rate
+            elif not st.use_display_fps:
+                self._display_poller = None
         self.cadence.set_target_fps(self._resolve_target_fps())
         self.scaler.enabled = st.auto_quality
         if self.engine is not None:  # (ref: HopperRender.cpp:1385-1390)
@@ -163,6 +176,12 @@ class FrameServer:
             self.engine.neighbor_scalar = st.neighbor_scalar
             self.engine.black_level = float(st.black_level)
             self.engine.white_level = float(st.white_level)
+            # Read per calculate_optical_flow call, so a live set is sufficient.
+            self.engine.num_iterations = st.num_iterations
+            if st.max_calc_res != old.max_calc_res:
+                # Flow-grid geometry changed: rebuild lazily on the next frame
+                # (same path as a resolution change, ref: HopperRender.cpp:722-791).
+                self.engine = None
 
     def set_display_fps(self, fps: float) -> None:
         """Display refresh-rate re-poll hook (ref: HopperRender.cpp:793-800)."""

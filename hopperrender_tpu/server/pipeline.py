@@ -8,6 +8,14 @@ consumes from a 5-deep output pool, letting decode, GPU work and presentation ov
 HopperRender.cpp:529-541). Here the pools are native preallocated rings
 (hopperrender_tpu.native.FrameRing) and the engine runs on its own thread so host
 decode and TPU dispatch overlap.
+
+Mid-stream resolution changes renegotiate the rings the way the reference
+renegotiates its allocator on a dynamic format change
+(ref: CustomInputPin::ReceiveConnection CustomInputPin.cpp:60-183): the side that
+owns the push end allocates a replacement pool sized for the new format, enqueues a
+renegotiation marker, closes the old ring, and continues on the new one; the pop
+side switches rings when it drains the marker. Frames therefore stay strictly
+ordered across the change and neither side ever blocks on a stale pool.
 """
 
 from __future__ import annotations
@@ -24,12 +32,16 @@ from hopperrender_tpu.vio import nv12
 
 log = get_logger("pipeline")
 
+_KIND_FRAME = 0
+_KIND_RENEGOTIATE = 1
+
 
 @dataclasses.dataclass
 class PipelineStats:
     frames_in: int = 0
     frames_out: int = 0
     input_ring_high_water: int = 0
+    renegotiations: int = 0
 
 
 class PipelinedServer:
@@ -43,10 +55,18 @@ class PipelinedServer:
     def __init__(self, server: FrameServer, *, input_slots: int = 8,
                  output_slots: int = 16):
         self.server = server
+        self._input_slots = input_slots
+        self._output_slots = output_slots
         elem = 2 if server.is_hdr else 1
         slot = nv12.frame_size_samples(server.height, server.width) * elem
-        self._in_ring = FrameRing(input_slots, slot)
-        self._out_ring = FrameRing(output_slots, slot)
+        self._in_ring = FrameRing(input_slots, slot)     # producer's current ring
+        self._out_ring = FrameRing(output_slots, slot)   # worker's current ring
+        self._out_cons = self._out_ring                  # consumer's current ring
+        # Renegotiation handoffs: the push side appends the replacement ring BEFORE
+        # enqueueing the marker, so the pop side always finds it when the marker
+        # arrives (ring FIFO order is the synchronization).
+        self._in_handoff: list[FrameRing] = []
+        self._out_handoff: list[FrameRing] = []
         self._out_meta: dict[int, OutputFrame] = {}
         self._meta_lock = threading.Lock()
         self._seq = 0
@@ -58,13 +78,31 @@ class PipelinedServer:
     # -- producer -------------------------------------------------------------
 
     def feed(self, y: np.ndarray, uv: np.ndarray, *, pts: int = -1) -> None:
-        self.feed_packed(native_pack(y, uv), pts=pts)
+        h, w = np.asarray(y).shape
+        self.feed_packed(native_pack(y, uv), pts=pts, height=h, width=w)
 
-    def feed_packed(self, buf, *, pts: int = -1) -> None:
+    def feed_packed(self, buf, *, pts: int = -1, height: int = 0,
+                    width: int = 0) -> None:
+        """Push one packed source frame. height/width describe the frame when it
+        differs from the server's current format (0 = current format)."""
         if self._error:
             raise RuntimeError("engine thread failed") from self._error
         data = buf if isinstance(buf, np.ndarray) else np.frombuffer(buf, np.uint8)
-        self._in_ring.push(data, meta=(pts, 0, 0, 0), timeout=None)
+        payload = data if data.dtype == np.uint8 else data.view(np.uint8).ravel()
+        if payload.nbytes > self._in_ring.slot_bytes:
+            # Dynamic format grew past the pool's slot size: renegotiate
+            # (ref: CustomInputPin.cpp:60-183).
+            log.info("input renegotiation: slot %d -> %d bytes",
+                     self._in_ring.slot_bytes, payload.nbytes)
+            new_ring = FrameRing(self._input_slots, payload.nbytes)
+            old = self._in_ring
+            self._in_handoff.append(new_ring)
+            old.push(b"", meta=(0, 0, 0, _KIND_RENEGOTIATE), timeout=None)
+            old.close()
+            self._in_ring = new_ring
+            self.stats.renegotiations += 1
+        self._in_ring.push(payload, meta=(pts, height, width, _KIND_FRAME),
+                           timeout=None)
         self.stats.frames_in += 1
         self.stats.input_ring_high_water = max(
             self.stats.input_ring_high_water, len(self._in_ring))
@@ -75,42 +113,77 @@ class PipelinedServer:
 
     # -- engine thread ----------------------------------------------------------
 
+    def _emit(self, out: OutputFrame) -> None:
+        with self._meta_lock:
+            seq = self._seq
+            self._seq += 1
+            self._out_meta[seq] = out
+        payload = native_pack(out.y, out.uv)
+        raw = payload.view(np.uint8).ravel()
+        if raw.nbytes > self._out_ring.slot_bytes:
+            log.info("output renegotiation: slot %d -> %d bytes",
+                     self._out_ring.slot_bytes, raw.nbytes)
+            new_ring = FrameRing(self._output_slots, raw.nbytes)
+            old = self._out_ring
+            self._out_handoff.append(new_ring)
+            old.push(b"", meta=(-1, 0, 0, _KIND_RENEGOTIATE), timeout=None)
+            old.close()
+            self._out_ring = new_ring
+        self._out_ring.push(raw, meta=(seq, out.start_time, out.end_time,
+                                       _KIND_FRAME), timeout=None)
+        self.stats.frames_out += 1
+
     def _run(self) -> None:
+        in_ring = self._in_ring
         try:
             while True:
-                item = self._in_ring.pop(timeout=None)
+                item = in_ring.pop(timeout=None)
                 if item is None:  # closed and drained
+                    if self._in_handoff:  # raced a renegotiation-in-flight
+                        in_ring = self._in_handoff.pop(0)
+                        continue
                     break
                 buf, meta = item
+                if meta[3] == _KIND_RENEGOTIATE:
+                    in_ring = self._in_handoff.pop(0)
+                    continue
                 pts = meta[0] if meta[0] >= 0 else None
-                y, uv = native_unpack(buf, self.server.height, self.server.width,
-                                      is_hdr=self.server.is_hdr)
+                h = int(meta[1]) or self.server.height
+                w = int(meta[2]) or self.server.width
+                y, uv = native_unpack(buf, h, w, is_hdr=self.server.is_hdr)
                 for out in self.server.push_frame(y, uv, pts=pts):
-                    with self._meta_lock:
-                        seq = self._seq
-                        self._seq += 1
-                        self._out_meta[seq] = out
-                    payload = native_pack(out.y, out.uv)
-                    self._out_ring.push(payload, meta=(seq, out.start_time,
-                                                       out.end_time, 0), timeout=None)
-                    self.stats.frames_out += 1
+                    self._emit(out)
         except BaseException as e:  # surfaced to both producer and consumer
             self._error = e
             log.error("engine thread failed: %s", e)
         finally:
+            # Unblock both sides: a producer blocked in push sees the close, and
+            # the consumer sees end-of-stream once drained.
+            in_ring.close()
+            self._in_ring.close()
             self._out_ring.close()
 
     # -- consumer ---------------------------------------------------------------
 
     def outputs(self, timeout: float | None = None):
-        """Yield OutputFrame objects in presentation order until drained."""
+        """Yield OutputFrame objects in presentation order until the stream ends.
+        `timeout` bounds each wait: a stall longer than that raises TimeoutError
+        (the stream may still be live); end-of-stream returns normally."""
         while True:
-            item = self._out_ring.pop(timeout=timeout)
+            item = self._out_cons.pop(timeout=timeout)
             if item is None:
                 if self._error:
                     raise RuntimeError("engine thread failed") from self._error
-                return
+                if self._out_cons.is_closed() and len(self._out_cons) == 0:
+                    if self._out_handoff:  # closed by a renegotiation, not EOS
+                        self._out_cons = self._out_handoff.pop(0)
+                        continue
+                    return
+                raise TimeoutError(f"no output frame within {timeout}s")
             _, meta = item
+            if meta[3] == _KIND_RENEGOTIATE:
+                self._out_cons = self._out_handoff.pop(0)
+                continue
             with self._meta_lock:
                 out = self._out_meta.pop(meta[0])
             yield out
