@@ -20,6 +20,8 @@ Flags:
   --radius R        search radius (default 16 = worst case; auto-scaler range 5-16)
   --streams B       lockstep multi-stream batch (default 1)
   --k1/--k2         chain lengths for the slope (default 1 and 4)
+  --warp {auto,band,strip}  warp kernel (auto = engine routing: Pallas band on
+                    TPU when the geometry qualifies, else XLA strips)
   --json-only       suppress the human-readable breakdown on stderr
 """
 
@@ -48,6 +50,7 @@ def main() -> None:
     ap.add_argument("--streams", type=int, default=1)
     ap.add_argument("--k1", type=int, default=1)
     ap.add_argument("--k2", type=int, default=3)
+    ap.add_argument("--warp", default="auto", choices=("auto", "band", "strip"))
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
     cfg = CONFIGS[args.config]
@@ -59,6 +62,7 @@ def main() -> None:
     from hopperrender_tpu.ops import flow as flow_ops
     from hopperrender_tpu.ops import flow_strip
     from hopperrender_tpu.ops import warp as warp_ops
+    from hopperrender_tpu.ops import warp_band
     from hopperrender_tpu.ops import warp_strip
     from hopperrender_tpu.vio import nv12
 
@@ -109,8 +113,17 @@ def main() -> None:
             extra = jnp.uint32(0)
         return raw + blurred[0, 0, 0].astype(jnp.uint32) + extra
 
+    band_ok = use_strips and warp_band.band_geometry_ok(
+        res_scalar=rs, is_hdr=is_hdr, dim_y=h, dim_x=w, apron=apron)
+    use_band = args.warp == "band" or (
+        args.warp == "auto" and band_ok and jax.devices()[0].platform == "tpu")
+
     def warp_unit(i12, i21, fl_prev, t):
-        if use_strips:
+        if use_band:
+            oy, ouv = warp_band.warp_frame_band(
+                i12, i21, fl_prev, t, jnp.float32(0.0), jnp.float32(white),
+                res_scalar=rs, mode=2, is_hdr=is_hdr, dim_y=h, dim_x=w, apron=apron)
+        elif use_strips:
             oy, ouv = warp_strip.warp_frame_strip(
                 i12, i21, fl_prev, t, jnp.float32(0.0), jnp.float32(white),
                 res_scalar=rs, mode=2, is_hdr=is_hdr, dim_y=h, dim_x=w, apron=apron)

@@ -34,6 +34,7 @@ from hopperrender_tpu import config
 from hopperrender_tpu.ops import flow as flow_ops
 from hopperrender_tpu.ops import flow_strip
 from hopperrender_tpu.ops import warp as warp_ops
+from hopperrender_tpu.ops import warp_band
 from hopperrender_tpu.ops import warp_strip
 
 
@@ -177,6 +178,17 @@ class OpticalFlowEngine:
             self.use_strips and self.h % cell == 0 and self.w % cell == 0
         )
         self._wctxs = [None, None, None]
+        # Pallas row-band warp (the fastest path, modes 0/1/2): used on real TPU
+        # when the geometry qualifies; other platforms keep the XLA strip twin
+        # (the band kernel's interpreter mode is only for tests).
+        self.use_warp_band = (
+            self.use_warp_strips
+            and self._device.platform == "tpu"
+            and warp_band.band_geometry_ok(
+                res_scalar=self.res_scalar, is_hdr=is_hdr,
+                dim_y=self.h, dim_x=self.w, apron=self._apron)
+        )
+        self._band_interpret = False  # test hook
 
     # The underlying ops are module-level jits with static argnames, so engines with
     # the same (resolution, hdr) share one compilation — no per-instance traces.
@@ -262,7 +274,15 @@ class OpticalFlowEngine:
         black, white = self._levels()
         start = time.perf_counter()
         mode = int(frame_output_mode)
-        if self.use_warp_strips and mode in (0, 1, 2) and self._wctxs[0] is not None:
+        if self.use_warp_band and mode in (0, 1, 2) and self._wctxs[0] is not None:
+            y, uv = warp_band.warp_frame_band(
+                self._wctxs[0], self._wctxs[1], self._blurred[0],
+                jnp.float32(blending_scalar), jnp.float32(black), jnp.float32(white),
+                res_scalar=self.res_scalar, mode=mode, is_hdr=self.is_hdr,
+                dim_y=self.h, dim_x=self.w, apron=self._apron,
+                interpret=self._band_interpret,
+            )
+        elif self.use_warp_strips and mode in (0, 1, 2) and self._wctxs[0] is not None:
             y, uv = warp_strip.warp_frame_strip(
                 self._wctxs[0], self._wctxs[1], self._blurred[0],
                 jnp.float32(blending_scalar), jnp.float32(black), jnp.float32(white),

@@ -221,7 +221,7 @@ def _unpack_pairs(pairs: jnp.ndarray, is_hdr: bool):
 @functools.partial(
     jax.jit,
     static_argnames=("window_size", "res_scalar", "iteration", "step", "is_hdr",
-                     "num_layers", "apron", "dim_y", "dim_x"),
+                     "num_layers", "apron", "dim_y", "dim_x", "n_seg_local"),
 )
 def delta_window_sums_strip(
     ctx: dict,                    # build_frame_context of frame1
@@ -231,6 +231,7 @@ def delta_window_sums_strip(
     radius: jnp.ndarray,
     delta_scalar: jnp.ndarray,
     neighbor_scalar: jnp.ndarray,
+    seg_start=0,                  # traced: first window ROW (step even) / COL (odd)
     *,
     window_size: int,
     res_scalar: int,
@@ -241,8 +242,15 @@ def delta_window_sums_strip(
     apron: int,
     dim_y: int,
     dim_x: int,
+    n_seg_local: int | None = None,  # windows along the segment axis (None = all)
 ) -> jnp.ndarray:
-    """Strip-mined twin of flow.delta_window_sums — identical outputs."""
+    """Strip-mined twin of flow.delta_window_sums — identical outputs.
+
+    seg_start / n_seg_local compute only a slab of windows along the step's
+    pixel-segment axis (rows for step even, columns for step odd) — the
+    multi-chip sharding axis (SURVEY.md §2.6): each device gathers only its
+    slab's strips, then the compact sums are all-gathered. Slab windows past
+    the frame edge produce zero-delta sums (callers slice them off)."""
     assert res_scalar >= 1, "strip kernel requires res_scalar >= 1"
     low_h, low_w = offsets.shape[1:]
     L = num_layers
@@ -260,6 +268,11 @@ def delta_window_sums_strip(
     n_wx = -(-low_w // w)
     lw_pad = n_wx * w
     lh_pad = n_wy * w
+    seg0 = jnp.asarray(seg_start, jnp.int32)
+    if n_seg_local is None:
+        n_seg_local_ = n_wy if step % 2 == 0 else n_wx
+    else:
+        n_seg_local_ = n_seg_local
 
     # Candidate offsets per layer (traced radius within the static bucket).
     lz = jnp.arange(L, dtype=jnp.int32)
@@ -268,25 +281,47 @@ def delta_window_sums_strip(
 
     ideal_x = offsets[0]
     ideal_y = offsets[1]
-    # Window-constant representatives (origin pixel of each window).
+    # Window-constant representatives (origin pixel of each window), restricted
+    # to the slab along the step's segment axis (clip keeps padded slab windows
+    # safe; their sums are sliced off by the caller).
     win_x = ideal_x[::w, ::w].astype(jnp.int32)  # (n_wy, n_wx)
     win_y = ideal_y[::w, ::w].astype(jnp.int32)
+    widx = seg0 + jnp.arange(n_seg_local_, dtype=jnp.int32)
+    if step % 2 == 0:
+        widx = jnp.clip(widx, 0, n_wy - 1)
+        win_x_s = win_x[widx]        # (n_loc, n_wx)
+        win_y_s = win_y[widx]
+    else:
+        widx = jnp.clip(widx, 0, n_wx - 1)
+        win_x_s = win_x[:, widx]     # (n_wy, n_loc)
+        win_y_s = win_y[:, widx]
 
     # int16 wraparound of ideal + rel, evaluated once per (layer, window).
     if step % 2 == 0:
-        off_x_lw = (win_x[None].astype(jnp.int16) + rel[:, None, None]).astype(jnp.int16)
-        off_y_lw = jnp.broadcast_to(win_y.astype(jnp.int16), (L, n_wy, n_wx))
+        off_x_lw = (win_x_s[None].astype(jnp.int16)
+                    + rel[:, None, None]).astype(jnp.int16)
+        off_y_lw = jnp.broadcast_to(win_y_s.astype(jnp.int16),
+                                    (L, n_seg_local_, n_wx))
     else:
-        off_x_lw = jnp.broadcast_to(win_x.astype(jnp.int16), (L, n_wy, n_wx))
-        off_y_lw = (win_y[None].astype(jnp.int16) + rel[:, None, None]).astype(jnp.int16)
+        off_x_lw = jnp.broadcast_to(win_x_s.astype(jnp.int16),
+                                    (L, n_wy, n_seg_local_))
+        off_y_lw = (win_y_s[None].astype(jnp.int16)
+                    + rel[:, None, None]).astype(jnp.int16)
 
+    # Default (whole-frame) path keeps the original segment count — exactly the
+    # frame's rows/cols; a slab always covers its full windows (masked later).
+    if n_seg_local is None:
+        slab_px = low_h if step % 2 == 0 else low_w
+    else:
+        slab_px = n_seg_local_ * w
     if step % 2 == 0:
         # ---- X-axis candidates: row strips -------------------------------------
         # Segment = (output row cy, window column wx). Luma strip along columns.
-        cy = jnp.arange(low_h, dtype=jnp.int32)
-        seg_row = ((cy[:, None] << rs) + win_y[(cy // w)[:, None],
-                                               jnp.arange(n_wx)[None, :]] + a)
-        seg_ix = win_x[(cy // w)[:, None], jnp.arange(n_wx)[None, :]]
+        cy = jnp.arange(slab_px, dtype=jnp.int32) + seg0 * w
+        wr = jnp.arange(slab_px, dtype=jnp.int32) // w   # slab-local window row
+        seg_row = ((cy[:, None] << rs) + win_y_s[wr[:, None],
+                                                 jnp.arange(n_wx)[None, :]] + a)
+        seg_ix = win_x_s[wr[:, None], jnp.arange(n_wx)[None, :]]
         base = (jnp.arange(n_wx, dtype=jnp.int32)[None, :] * (w << rs)
                 + seg_ix + min_rel + a)
         nb_y = (span + ((w - 1) << rs) + group_y - 1) // group_y + 1
@@ -296,12 +331,13 @@ def delta_window_sums_strip(
         # (i << rs) + (rel_l - min_rel).
         layer_starts = rel32 - min_rel
         samp = _extract_layers(strips.astype(jnp.int32), layer_starts, w, 1 << rs, L)
-        samp = samp.reshape(L, low_h, n_wx, w).reshape(L, low_h, lw_pad)[:, :, :low_w]
+        samp = samp.reshape(L, slab_px, n_wx, w).reshape(
+            L, slab_px, lw_pad)[:, :, :low_w]
 
         # Chroma: pair strips. pos_pair(l, i) = (i << (rs-1)) + ((ix + rel_l) >> 1)
         # with the >>1 parity handled by two extractions + per-segment select.
-        c_row = ((cy[:, None] << rs) + win_y[(cy // w)[:, None],
-                                             jnp.arange(n_wx)[None, :]]) >> 1
+        c_row = ((cy[:, None] << rs) + win_y_s[wr[:, None],
+                                               jnp.arange(n_wx)[None, :]]) >> 1
         c_row = c_row + ac
         c_base = ((jnp.arange(n_wx, dtype=jnp.int32)[None, :] * (w << rs)) >> 1) \
             + ((seg_ix + min_rel) >> 1) + ac
@@ -318,14 +354,17 @@ def delta_window_sums_strip(
         base_parity = ((seg_ix + min_rel) & 1).reshape(-1)[None, :, None]
         pair = jnp.where(base_parity == 0, samp_even, samp_odd)
         u_s, v_s = _unpack_pairs(pair.astype(jnp.uint16), False)
-        u_s = u_s.reshape(L, low_h, n_wx, w).reshape(L, low_h, lw_pad)[:, :, :low_w]
-        v_s = v_s.reshape(L, low_h, n_wx, w).reshape(L, low_h, lw_pad)[:, :, :low_w]
+        u_s = u_s.reshape(L, slab_px, n_wx, w).reshape(
+            L, slab_px, lw_pad)[:, :, :low_w]
+        v_s = v_s.reshape(L, slab_px, n_wx, w).reshape(
+            L, slab_px, lw_pad)[:, :, :low_w]
     else:
         # ---- Y-axis candidates: column strips from transposed planes -----------
-        cx = jnp.arange(low_w, dtype=jnp.int32)
-        seg_col = ((cx[:, None] << rs) + win_x[jnp.arange(n_wy)[None, :],
-                                               (cx // w)[:, None]] + a)
-        seg_iy = win_y[jnp.arange(n_wy)[None, :], (cx // w)[:, None]]
+        cx = jnp.arange(slab_px, dtype=jnp.int32) + seg0 * w
+        wc = jnp.arange(slab_px, dtype=jnp.int32) // w   # slab-local window col
+        seg_col = ((cx[:, None] << rs) + win_x_s[jnp.arange(n_wy)[None, :],
+                                                 wc[:, None]] + a)
+        seg_iy = win_y_s[jnp.arange(n_wy)[None, :], wc[:, None]]
         base = (jnp.arange(n_wy, dtype=jnp.int32)[None, :] * (w << rs)
                 + seg_iy + min_rel + a)
         nb_y = (span + ((w - 1) << rs) + group_y - 1) // group_y + 1
@@ -333,14 +372,15 @@ def delta_window_sums_strip(
                                base.reshape(-1), nb_y, group_y)
         layer_starts = rel32 - min_rel
         samp = _extract_layers(strips.astype(jnp.int32), layer_starts, w, 1 << rs, L)
-        # (L, low_w, n_wy, w) -> (L, low_h?, ...) transpose back
-        samp = samp.reshape(L, low_w, n_wy, w).reshape(L, low_w, lh_pad)[:, :, :low_h]
+        # (L, slab cols, n_wy, w) -> rows restored, slab cols kept
+        samp = samp.reshape(L, slab_px, n_wy, w).reshape(
+            L, slab_px, lh_pad)[:, :, :low_h]
         samp = samp.transpose(0, 2, 1)
 
         # Chroma via split transposed planes: u col = ((cxf + ix) >> 1) fixed per
         # segment; strip runs along chroma rows ((cyf + iy + rel) >> 1).
         cxf = cx[:, None] << rs
-        ixw = win_x[jnp.arange(n_wy)[None, :], (cx // w)[:, None]]
+        ixw = win_x_s[jnp.arange(n_wy)[None, :], wc[:, None]]
         c_col = ((cxf + ixw) >> 1) + ac
         c_base = (((jnp.arange(n_wy, dtype=jnp.int32)[None, :] * (w << rs)) >> 1)
                   + ((seg_iy + min_rel) >> 1) + ac)
@@ -358,7 +398,8 @@ def delta_window_sums_strip(
             so = _extract_layers(st.astype(jnp.int32), odd_starts, w,
                                  1 << (rs - 1), L)
             s = jnp.where(base_parity == 0, se, so)
-            s = s.reshape(L, low_w, n_wy, w).reshape(L, low_w, lh_pad)[:, :, :low_h]
+            s = s.reshape(L, slab_px, n_wy, w).reshape(
+                L, slab_px, lh_pad)[:, :, :low_h]
             return s.transpose(0, 2, 1)
 
         u_s = chroma_from(ctx["pad_u_t"])
@@ -367,15 +408,18 @@ def delta_window_sums_strip(
     return _cost_tail(samp, u_s, v_s, f2y, f2uv, offsets, off_x_lw, off_y_lw,
                       radius, delta_scalar, neighbor_scalar,
                       window_size=w, res_scalar=rs, iteration=iteration, step=step,
-                      is_hdr=is_hdr, num_layers=L, dim_y=dim_y, dim_x=dim_x)
+                      is_hdr=is_hdr, num_layers=L, dim_y=dim_y, dim_x=dim_x,
+                      seg0=seg0)
 
 
-def _window_offsets(offsets, radius, num_layers, window_size, step):
+def _window_offsets(offsets, radius, num_layers, window_size, step,
+                    layer_offset=0):
     """Per-(layer, window) candidate offsets with int16 wraparound (window-constant
-    invariant; representatives at window origins)."""
+    invariant; representatives at window origins). layer_offset maps the local
+    layer range to global candidate layers (multi-chip layer sharding)."""
     L = num_layers
     w = window_size
-    lz = jnp.arange(L, dtype=jnp.int32)
+    lz = jnp.arange(L, dtype=jnp.int32) + jnp.asarray(layer_offset, jnp.int32)
     rel = flow_ops._signed_square_i16(((lz % radius) - radius // 2).astype(jnp.int16))
     win_x = offsets[0][::w, ::w]
     win_y = offsets[1][::w, ::w]
@@ -411,6 +455,7 @@ def delta_window_sums_patch(
     radius: jnp.ndarray,
     delta_scalar: jnp.ndarray,
     neighbor_scalar: jnp.ndarray,
+    layer_offset=0,               # traced: first global layer of this shard
     *,
     window_size: int,
     res_scalar: int,
@@ -439,7 +484,8 @@ def delta_window_sums_patch(
     P = 1 << rs
     Pc = 1 << (rs - 1)
 
-    off_x_lw, off_y_lw = _window_offsets(offsets, radius, L, w, step)
+    off_x_lw, off_y_lw = _window_offsets(offsets, radius, L, w, step,
+                                         layer_offset=layer_offset)
     ox = off_x_lw.astype(jnp.int32)
     oy = off_y_lw.astype(jnp.int32)
     wy_base = (jnp.arange(n_wy, dtype=jnp.int32)[None, :, None] * (w << rs))
@@ -475,29 +521,37 @@ def delta_window_sums_patch(
     return _cost_tail(samp, u_s, v_s, f2y, f2uv, offsets, off_x_lw, off_y_lw,
                       radius, delta_scalar, neighbor_scalar,
                       window_size=w, res_scalar=rs, iteration=iteration, step=step,
-                      is_hdr=is_hdr, num_layers=L, dim_y=dim_y, dim_x=dim_x)
+                      is_hdr=is_hdr, num_layers=L, dim_y=dim_y, dim_x=dim_x,
+                      layer_offset=layer_offset)
 
 
 def _cost_tail(samp, u_s, v_s, f2y, f2uv, offsets, off_x_lw, off_y_lw,
                radius, delta_scalar, neighbor_scalar, *, window_size, res_scalar,
-               iteration, step, is_hdr, num_layers, dim_y, dim_x):
+               iteration, step, is_hdr, num_layers, dim_y, dim_x, seg0=0,
+               layer_offset=0):
     """Shared cost assembly (mirrors flow.delta_window_sums): delta + biases +
-    window sums from reconstructed per-pixel frame-1 samples."""
+    window sums from reconstructed per-pixel frame-1 samples.
+
+    Slab mode (seg0 != 0 or sample arrays narrower than the frame): the arrays
+    cover global rows [seg0*w, ...) for step even / columns for step odd; pixels
+    past the frame edge contribute zero (the original formulation's zero pad).
+    layer_offset maps local layers to global candidate layers (layer sharding)."""
     w = window_size
     rs = res_scalar
     L = num_layers
     low_h, low_w = offsets.shape[1:]
-    n_wy = -(-low_h // w)
-    n_wx = -(-low_w // w)
-    lw_pad = n_wx * w
-    lh_pad = n_wy * w
+    seg0 = jnp.asarray(seg0, jnp.int32)
 
     shift = 8 if is_hdr else 0
-    cxg = jnp.arange(low_w, dtype=jnp.int32)[None, None, :]
-    cyg = jnp.arange(low_h, dtype=jnp.int32)[None, :, None]
+    slab_h, slab_w = samp.shape[1:]
+    row0 = seg0 * w if step % 2 == 0 else 0
+    col0 = seg0 * w if step % 2 == 1 else 0
+    cxg = (jnp.arange(slab_w, dtype=jnp.int32) + col0)[None, None, :]
+    cyg = (jnp.arange(slab_h, dtype=jnp.int32) + row0)[None, :, None]
     scaled_cx = cxg << rs
     scaled_cy = cyg << rs
     in_frame = (scaled_cx < dim_x) & (scaled_cy < dim_y)
+    in_grid = (cxg < low_w) & (cyg < low_h)
 
     uv_h = dim_y // 2
     f2y_i = f2y.astype(jnp.int32) >> shift
@@ -521,24 +575,21 @@ def _cost_tail(samp, u_s, v_s, f2y, f2uv, offsets, off_x_lw, off_y_lw,
     delta = delta << delta_scalar.astype(jnp.uint32)
     delta = jnp.where(in_frame, delta, jnp.uint32(0))
 
-    # Per-pixel offsets for biases (full-resolution arrays, window-broadcast).
+    # Per-pixel offsets for biases (window-broadcast over the slab).
     off_x_full = jnp.repeat(jnp.repeat(off_x_lw, w, axis=1), w, axis=2)[
-        :, :low_h, :low_w]
+        :, :slab_h, :slab_w]
     off_y_full = jnp.repeat(jnp.repeat(off_y_lw, w, axis=1), w, axis=2)[
-        :, :low_h, :low_w]
+        :, :slab_h, :slab_w]
     active = off_x_full if step % 2 == 0 else off_y_full
     offset_bias = jnp.abs(active.astype(jnp.int32)).astype(jnp.uint32)
 
     if iteration >= config.FIRST_NEIGHBOR_ITERATION:
         plane = offsets[0 if step % 2 == 0 else 1]
-        nb = jnp.zeros((L, low_h, low_w), dtype=jnp.uint32)
+        nb = jnp.zeros((L, slab_h, slab_w), dtype=jnp.uint32)
         for dx, dy in ((0, 2 * w), (2 * w, 0), (-2 * w, 0), (0, -2 * w)):
-            if dy:
-                idx = jnp.clip(jnp.arange(low_h, dtype=jnp.int32) + dy, 0, low_h - 1)
-                n_off = plane[idx, :][None]
-            else:
-                idx = jnp.clip(jnp.arange(low_w, dtype=jnp.int32) + dx, 0, low_w - 1)
-                n_off = plane[:, idx][None]
+            r = jnp.clip(cyg[0, :, 0] + dy, 0, low_h - 1)
+            c = jnp.clip(cxg[0, 0, :] + dx, 0, low_w - 1)
+            n_off = plane[r][:, c][None]
             nb = nb + jnp.abs(n_off.astype(jnp.int32)
                               - active.astype(jnp.int32)).astype(jnp.uint32)
         neighbor_bias = nb << neighbor_scalar.astype(jnp.uint32)
@@ -546,11 +597,15 @@ def _cost_tail(samp, u_s, v_s, f2y, f2uv, offsets, off_x_lw, off_y_lw,
         neighbor_bias = jnp.uint32(0)
 
     total = delta + offset_bias + neighbor_bias
-    pad_h = lh_pad - low_h
-    pad_w = lw_pad - low_w
+    total = jnp.where(in_grid, total, jnp.uint32(0))
+    pad_h = (-slab_h) % w
+    pad_w = (-slab_w) % w
     padded = jnp.pad(total, ((0, 0), (0, pad_h), (0, pad_w)))
-    sums = padded.reshape(L, n_wy, w, n_wx, w).sum(axis=(2, 4), dtype=jnp.uint32)
-    lz3 = jnp.arange(L, dtype=jnp.int32)[:, None, None]
+    sums = padded.reshape(L, (slab_h + pad_h) // w, w,
+                          (slab_w + pad_w) // w, w).sum(axis=(2, 4),
+                                                        dtype=jnp.uint32)
+    lz3 = (jnp.arange(L, dtype=jnp.int32)
+           + jnp.asarray(layer_offset, jnp.int32))[:, None, None]
     return jnp.where(lz3 < radius, sums, UINT32_MAX)
 
 

@@ -28,9 +28,76 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from hopperrender_tpu.ops import flow as flow_ops
+from hopperrender_tpu.ops import flow_strip
 from hopperrender_tpu.ops import warp as warp_ops
 
 MAX_R = flow_ops.MAX_R
+
+
+def pyramid_flow_strip_sharded(
+    ctx1: dict, f2y, f2uv, radius, delta_scalar, neighbor_scalar,
+    *, low_h: int, low_w: int, res_scalar: int, is_hdr: bool, num_layers: int,
+    apron: int, dim_y: int, dim_x: int, num_iterations: int = 0,
+    axis_name: str, num_shards: int,
+):
+    """Sharded twin of flow_strip.pyramid_flow_strip — the PRODUCTION
+    formulation on the mesh. Fine windows shard the strip SEGMENT axis (window
+    rows for step 0, window cols for step 1) so each device issues 1/n of the
+    gather indices — the only lever that scales this gather-bound workload
+    (PERF.md). Coarse (patch) windows shard the LAYER axis (one descriptor per
+    layer x window divides exactly). Only KB-scale compact window sums cross
+    chips; the frame context is replicated."""
+    offsets = jnp.zeros((2, low_h, low_w), dtype=jnp.int16)
+    total_delta_raw = jnp.uint32(0)
+    shard = jax.lax.axis_index(axis_name)
+    L = num_layers
+
+    for iteration, window in flow_ops.window_schedule(low_h, low_w,
+                                                      num_iterations):
+        for step in (0, 1):
+            n_wy = -(-low_h // window)
+            n_wx = -(-low_w // window)
+            n_desc = L * n_wy * n_wx
+            if "dec_y" in ctx1:
+                hd = ctx1["dec_y"].shape[0] // (1 << (2 * res_scalar))
+                hcd = ctx1["dec_uv"].shape[0] // (1 << (2 * (res_scalar - 1)))
+                fits = window <= min(hd, ctx1["dec_y"].shape[1],
+                                     hcd, ctx1["dec_uv"].shape[1])
+            else:
+                fits = False
+            kw = dict(window_size=window, res_scalar=res_scalar,
+                      iteration=iteration, step=step, is_hdr=is_hdr,
+                      apron=apron, dim_y=dim_y, dim_x=dim_x)
+            if fits and n_desc <= 4096:
+                # Coarse: layer sharding (pad layers to the shard count).
+                l_loc = -(-L // num_shards)
+                sums_local = flow_strip.delta_window_sums_patch(
+                    ctx1, f2y, f2uv, offsets, radius, delta_scalar,
+                    neighbor_scalar, shard * l_loc, num_layers=l_loc, **kw)
+                sums = jax.lax.all_gather(sums_local, axis_name, axis=0,
+                                          tiled=True)[:L]
+            else:
+                # Fine: segment-axis sharding.
+                n_seg = n_wy if step % 2 == 0 else n_wx
+                s_loc = -(-n_seg // num_shards)
+                sums_local = flow_strip.delta_window_sums_strip(
+                    ctx1, f2y, f2uv, offsets, radius, delta_scalar,
+                    neighbor_scalar, shard * s_loc, num_layers=L,
+                    n_seg_local=s_loc, **kw)
+                axis = 1 if step % 2 == 0 else 2
+                sums = jax.lax.all_gather(sums_local, axis_name, axis=axis,
+                                          tiled=True)
+                sums = sums[:, :n_wy, :n_wx]
+            if iteration == 0 and step == 0:
+                total_delta_raw = jax.lax.dynamic_index_in_dim(
+                    sums[:, 0, 0], radius // 2 - 1, keepdims=False)
+            winners = flow_ops.lowest_layer(sums)
+            offsets = flow_ops.adjust_offsets(
+                offsets, winners, radius, window_size=window, step=step)
+            offsets = jax.lax.optimization_barrier(offsets)
+
+    blurred = flow_ops.blur_flow(offsets)
+    return offsets, blurred, total_delta_raw
 
 
 def pyramid_flow_sharded(
@@ -117,14 +184,30 @@ def make_multichip_step(
     SURVEY.md §2.2). Returns (out_y, out_uv, new_blurred_flow, total_delta_raw).
     """
     n_sp = mesh.shape["sp"]
+    use_strips = res_scalar >= 1
+    apron = flow_strip.apron_for(low_h, low_w) if use_strips else 0
 
     def per_stream(f0y, f0uv, f1y, f1uv, f2y, f2uv, flow_prev, radius, dscalar,
                    nscalar, t, black, white):
-        _, blurred, delta_raw = pyramid_flow_sharded(
-            f1y, f1uv, f2y, f2uv, radius, dscalar, nscalar,
-            low_h=low_h, low_w=low_w, res_scalar=res_scalar, is_hdr=is_hdr,
-            axis_name="sp", num_shards=n_sp,
-        )
+        if use_strips:
+            # Production strip/patch formulation: context replicated per shard
+            # (built from the already-resident frame), segments/layers sharded.
+            ctx1 = flow_strip.build_frame_context(
+                f1y, f1uv, apron=apron, is_hdr=is_hdr,
+                res_scalar=res_scalar if res_scalar <= 4 else None)
+            _, blurred, delta_raw = pyramid_flow_strip_sharded(
+                ctx1, f2y, f2uv, radius, dscalar, nscalar,
+                low_h=low_h, low_w=low_w, res_scalar=res_scalar, is_hdr=is_hdr,
+                num_layers=MAX_R, apron=apron,
+                dim_y=frame_height, dim_x=frame_width,
+                axis_name="sp", num_shards=n_sp,
+            )
+        else:
+            _, blurred, delta_raw = pyramid_flow_sharded(
+                f1y, f1uv, f2y, f2uv, radius, dscalar, nscalar,
+                low_h=low_h, low_w=low_w, res_scalar=res_scalar, is_hdr=is_hdr,
+                axis_name="sp", num_shards=n_sp,
+            )
         out_y, out_uv = warp_frame_sharded(
             f0y, f0uv, f1y, f1uv, flow_prev, t, black, white,
             res_scalar=res_scalar, mode=mode, is_hdr=is_hdr,

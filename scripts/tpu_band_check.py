@@ -1,0 +1,41 @@
+"""Real-TPU Mosaic compile + bit-exactness check for the warp band kernel."""
+import sys
+import numpy as np
+import jax
+import jax.numpy as jnp
+from hopperrender_tpu.ops import warp_band, warp_strip
+
+def main():
+    print("devices:", jax.devices(), flush=True)
+    rng = np.random.default_rng(1)
+    h, w, apron, rs = 64, 128, 32, 2
+    is_hdr = len(sys.argv) > 1 and sys.argv[1] == "hdr"
+    if is_hdr:
+        rs = 3
+    dt = np.uint16 if is_hdr else np.uint8
+    hi = 65536 if is_hdr else 256
+    low_h, low_w = h >> rs, w >> rs
+    y1 = rng.integers(0, hi, (h, w), dtype=dt); uv1 = rng.integers(0, hi, (h//2, w), dtype=dt)
+    y2 = rng.integers(0, hi, (h, w), dtype=dt); uv2 = rng.integers(0, hi, (h//2, w), dtype=dt)
+    flow = rng.integers(-25, 26, (2, low_h, low_w)).astype(np.int16)
+    c1 = warp_strip.build_warp_context(jnp.asarray(y1), jnp.asarray(uv1), apron=apron, is_hdr=is_hdr)
+    c2 = warp_strip.build_warp_context(jnp.asarray(y2), jnp.asarray(uv2), apron=apron, is_hdr=is_hdr)
+    scale = 256.0 if is_hdr else 1.0
+    args = (c1, c2, jnp.asarray(flow), jnp.float32(0.375), jnp.float32(16.0*scale), jnp.float32(235.0*scale))
+    for mode in (2, 0):
+        kw = dict(res_scalar=rs, mode=mode, is_hdr=is_hdr, dim_y=h, dim_x=w, apron=apron)
+        ys, uvs = warp_strip.warp_frame_strip(*args, **kw)
+        ys, uvs = np.asarray(ys), np.asarray(uvs)
+        print(f"mode {mode}: strip done; compiling band...", flush=True)
+        yb, uvb = warp_band.warp_frame_band(*args, **kw)
+        yb, uvb = np.asarray(yb), np.asarray(uvb)
+        ok_y = np.array_equal(ys, yb); ok_uv = np.array_equal(uvs, uvb)
+        print(f"mode {mode}: y exact={ok_y} uv exact={ok_uv}", flush=True)
+        if not (ok_y and ok_uv):
+            print("y mismatches:", np.argwhere(ys != yb)[:5])
+            print("uv mismatches:", np.argwhere(uvs != uvb)[:5])
+            sys.exit(1)
+    print("BAND KERNEL OK ON TPU", flush=True)
+
+if __name__ == "__main__":
+    main()

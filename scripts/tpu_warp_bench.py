@@ -1,0 +1,53 @@
+"""Slope-timed 4K warp: band kernel vs strip twin on the real chip."""
+import functools, sys, time
+import numpy as np
+import jax, jax.numpy as jnp
+from hopperrender_tpu import config as hcfg
+from hopperrender_tpu.ops import flow_strip, warp_band, warp_strip
+from hopperrender_tpu.vio import nv12
+
+cfgname = sys.argv[1] if len(sys.argv) > 1 else "4k-hdr"
+which = sys.argv[2] if len(sys.argv) > 2 else "band"
+W, H, is_hdr = (3840, 2160, True) if cfgname == "4k-hdr" else \
+               ((3840, 2160, False) if cfgname == "4k-sdr" else (1920, 1080, False))
+rs, low_h, low_w = hcfg.calc_flow_dims(H, W, hcfg.MAX_CALC_RES)
+apron = flow_strip.apron_for(low_h, low_w)
+rng = np.random.default_rng(0)
+y1, uv1 = nv12.synthetic_frame(rng, H, W, is_hdr=is_hdr, motion_x=0)
+y2, uv2 = nv12.synthetic_frame(rng, H, W, is_hdr=is_hdr, motion_x=2)
+f1y, f1uv = jnp.asarray(y1), jnp.asarray(uv1)
+f2y, f2uv = jnp.asarray(y2), jnp.asarray(uv2)
+flow0 = jnp.asarray(rng.integers(-12, 13, (2, low_h, low_w)).astype(np.int16))
+white = 65280.0 if is_hdr else 255.0
+salt_dtype = jnp.uint16 if is_hdr else jnp.uint8
+fn = warp_band.warp_frame_band if which == "band" else warp_strip.warp_frame_strip
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def chain(salt, *, k: int):
+    acc = jnp.uint32(salt)
+    fl = flow0
+    for i in range(k):
+        fl = fl + (acc % 2).astype(jnp.int16)
+        t = jnp.float32(0.1 + 0.3 * (i % 3))
+        y1s = f1y + (acc % 2).astype(salt_dtype)
+        c12 = warp_strip.build_warp_context(y1s, f1uv, apron=apron, is_hdr=is_hdr)
+        c21 = warp_strip.build_warp_context(f2y, f2uv, apron=apron, is_hdr=is_hdr)
+        oy, ouv = fn(c12, c21, fl, t, jnp.float32(0.0), jnp.float32(white),
+                     res_scalar=rs, mode=2, is_hdr=is_hdr, dim_y=H, dim_x=W, apron=apron)
+        acc = jax.lax.optimization_barrier(
+            acc + jnp.sum(oy[0, :8].astype(jnp.uint32)) + jnp.sum(ouv[0, :8].astype(jnp.uint32)))
+    return acc
+
+salt = 0
+times = {}
+for k in (1, 3):
+    t0 = time.perf_counter(); int(chain(salt, k=k)); salt += 1
+    print(f"k={k} compile+run {time.perf_counter()-t0:.1f}s", flush=True)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter(); int(chain(salt, k=k)); salt += 1
+        best = min(best, time.perf_counter() - t0)
+    times[k] = best
+    print(f"k={k} best {best*1e3:.1f} ms", flush=True)
+ms = (times[3] - times[1]) / 2 * 1e3
+print(f"{cfgname} {which} warp+2ctx per output: {ms:.2f} ms", flush=True)

@@ -64,6 +64,81 @@ def test_multichip_matches_single_device(rng, dp, sp):
         np.testing.assert_array_equal(np.asarray(out_uv[b]), np.asarray(wuv))
 
 
+@pytest.mark.parametrize("sp", [4, 8])
+def test_multichip_strip_segments_match_single_device(rng, sp):
+    """The PRODUCTION strip/patch pyramid on the mesh: a grid large enough that
+    fine windows route through the segment-sharded strip kernel (n_desc > 4096
+    at w=2), compared against the single-device strip pyramid."""
+    import jax.numpy as jnp
+    from hopperrender_tpu.ops import flow_strip
+    from hopperrender_tpu.parallel import mesh as pmesh
+
+    h, w = 64, 128
+    rs, low_h, low_w = 1, 32, 64
+    f1 = make_frame(rng, h, w)
+    f2 = make_frame(rng, h, w)
+    apron = flow_strip.apron_for(low_h, low_w)
+    ctx1 = flow_strip.build_frame_context(
+        jnp.asarray(f1[0]), jnp.asarray(f1[1]), apron=apron, is_hdr=False,
+        res_scalar=rs)
+    radius, dsc, nsc = jnp.int32(16), jnp.int32(8), jnp.int32(6)
+
+    _, blur_1d, delta_1d = flow_strip.pyramid_flow_strip(
+        ctx1, jnp.asarray(f2[0]), jnp.asarray(f2[1]), radius, dsc, nsc,
+        low_h=low_h, low_w=low_w, res_scalar=rs, is_hdr=False,
+        apron=apron, dim_y=h, dim_x=w)
+
+    mesh = make_mesh(1, sp)
+    import jax as _jax
+
+    def body(f2y, f2uv):
+        return pmesh.pyramid_flow_strip_sharded(
+            ctx1, f2y, f2uv, radius, dsc, nsc,
+            low_h=low_h, low_w=low_w, res_scalar=rs, is_hdr=False,
+            num_layers=16, apron=apron, dim_y=h, dim_x=w,
+            axis_name="sp", num_shards=sp)
+
+    sharded = _jax.jit(_jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(jax.sharding.PartitionSpec(), jax.sharding.PartitionSpec()),
+        out_specs=jax.sharding.PartitionSpec(), check_vma=False))
+    _, blur_mc, delta_mc = sharded(jnp.asarray(f2[0]), jnp.asarray(f2[1]))
+    np.testing.assert_array_equal(np.asarray(blur_mc), np.asarray(blur_1d))
+    assert int(delta_mc) == int(delta_1d)
+
+
+def test_strip_slab_tiles_full_sums(rng):
+    """delta_window_sums_strip slabs must tile the whole-frame result on both
+    step axes (the mesh's segment sharding invariant)."""
+    import jax.numpy as jnp
+    from hopperrender_tpu.ops import flow_strip
+
+    h, w = 64, 128
+    low_h, low_w = 32, 64
+    f1 = make_frame(rng, h, w)
+    f2 = make_frame(rng, h, w)
+    offsets = jnp.asarray(make_flow(rng, low_h, low_w, max_mag=6))
+    apron = flow_strip.apron_for(low_h, low_w)
+    ctx1 = flow_strip.build_frame_context(
+        jnp.asarray(f1[0]), jnp.asarray(f1[1]), apron=apron, is_hdr=False,
+        res_scalar=1)
+    args = (ctx1, jnp.asarray(f2[0]), jnp.asarray(f2[1]), offsets,
+            jnp.int32(11), jnp.int32(8), jnp.int32(6))
+    for step, ws in ((0, 2), (1, 2), (0, 4), (1, 8)):
+        kw = dict(window_size=ws, res_scalar=1, iteration=5, step=step,
+                  is_hdr=False, num_layers=16, apron=apron, dim_y=h, dim_x=w)
+        full = flow_strip.delta_window_sums_strip(*args, **kw)
+        n_seg = full.shape[1] if step == 0 else full.shape[2]
+        n_loc = -(-n_seg // 4)
+        parts = [flow_strip.delta_window_sums_strip(
+            *args, jnp.int32(s * n_loc), n_seg_local=n_loc, **kw)
+            for s in range(4)]
+        tiled = jnp.concatenate(parts, axis=1 if step == 0 else 2)
+        tiled = tiled[:, :full.shape[1], :full.shape[2]]
+        np.testing.assert_array_equal(np.asarray(tiled), np.asarray(full),
+                                      err_msg=f"step={step} w={ws}")
+
+
 def test_row_offset_warp_equivalence(rng):
     """warp_frame_plane with out_rows/row_offset must tile the full-plane result."""
     h, w = 16, 24
