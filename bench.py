@@ -72,7 +72,9 @@ def main() -> None:
     outputs_per_source = cfg["target_fps"] / cfg["source_fps"]
     rng = np.random.default_rng(0)
     use_strips = rs >= 1
-    apron = flow_strip.apron_for(low_h, low_w)
+    # The engine sizes the apron to the radius bucket (flow_engine.update_frame).
+    num_layers = next(b for b in (5, 8, 12, 16) if args.radius <= b)
+    apron = flow_strip.apron_for(low_h, low_w, num_layers)
 
     def make_batch(shift):
         ys, uvs = [], []
@@ -89,7 +91,6 @@ def main() -> None:
     salt_dtype = jnp.uint16 if is_hdr else jnp.uint8
     white = 65280.0 if is_hdr else 255.0
     radius = jnp.int32(args.radius)
-    num_layers = next(b for b in (5, 8, 12, 16) if args.radius <= b)
 
     # Two separately-jitted chains (fusing a whole source-frame unit into one
     # program can fault the TPU runtime; the engine also runs these as separate

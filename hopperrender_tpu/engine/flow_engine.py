@@ -168,9 +168,15 @@ class OpticalFlowEngine:
 
         # Strip-mined flow path (PERF.md): needs res_scalar >= 1; contexts (mirror
         # apron + transposed planes) are built once per ingested frame and ride the
-        # same ring as the frames.
+        # same ring as the frames. The apron is sized to the RADIUS BUCKET: the
+        # pyramid's per-pair offset bound scales with the bucket's max candidate
+        # step, so low buckets get ~12x smaller contexts/bands (48 px at the
+        # radius-5 floor vs 576 at 16). Pending flows computed at a larger bucket
+        # keep the larger apron until consumed (warp displacement soundness).
         self.use_strips = self.res_scalar >= 1
-        self._apron = flow_strip.apron_for(self.low_h, self.low_w)
+        self._bucket = self._radius_bucket()
+        self._flow_buckets = [self._bucket, self._bucket]
+        self._apron = flow_strip.apron_for(self.low_h, self.low_w, self._bucket)
         self._ctxs = [None, None, None]
         # Strip-mined warp (modes 0/1/2) needs cell-aligned dims as well.
         cell = 1 << self.res_scalar
@@ -193,6 +199,20 @@ class OpticalFlowEngine:
     # The underlying ops are module-level jits with static argnames, so engines with
     # the same (resolution, hdr) share one compilation — no per-instance traces.
 
+    def _radius_bucket(self) -> int:
+        """Static cost-volume depth bucket for the current search radius."""
+        return next(b for b in (5, 8, 12, flow_ops.MAX_R)
+                    if self.search_radius <= b)
+
+    def _build_ctx(self, y_dev, uv_dev):
+        return flow_strip.build_frame_context(
+            y_dev, uv_dev, apron=self._apron, is_hdr=self.is_hdr,
+            res_scalar=self.res_scalar if self.res_scalar <= 4 else None)
+
+    def _build_wctx(self, y_dev, uv_dev):
+        return warp_strip.build_warp_context(
+            y_dev, uv_dev, apron=self._apron, is_hdr=self.is_hdr)
+
     # -- streaming API (mirrors OpticalFlowCalc) -----------------------------
 
     def update_frame(self, y: np.ndarray, uv: np.ndarray) -> None:
@@ -202,27 +222,43 @@ class OpticalFlowEngine:
         uv_dev = jax.device_put(np.ascontiguousarray(uv, dtype=dtype), self._device)
         self._frames_y = [self._frames_y[1], self._frames_y[2], y_dev]
         self._frames_uv = [self._frames_uv[1], self._frames_uv[2], uv_dev]
+        # Apron follows the effective bucket: current radius or any pending
+        # flow's bucket, whichever is larger (their displacements must fit).
+        self._bucket = self._radius_bucket()
+        eff = max(self._bucket, *self._flow_buckets)
+        apron = flow_strip.apron_for(self.low_h, self.low_w, eff) \
+            if self.use_strips else 0
+        rebuilt = apron != self._apron
+        self._apron = apron
         if self.use_strips:
-            ctx = flow_strip.build_frame_context(
-                y_dev, uv_dev, apron=self._apron, is_hdr=self.is_hdr,
-                res_scalar=self.res_scalar if self.res_scalar <= 4 else None)
-            self._ctxs = [self._ctxs[1], self._ctxs[2], ctx]
+            if rebuilt:  # re-derive older slots' contexts at the new apron
+                self._ctxs = [
+                    self._build_ctx(self._frames_y[i], self._frames_uv[i])
+                    for i in range(2)] + [None]
+            else:
+                self._ctxs = [self._ctxs[1], self._ctxs[2], None]
+            self._ctxs[2] = self._build_ctx(y_dev, uv_dev)
         if self.use_warp_strips:
-            wctx = warp_strip.build_warp_context(
-                y_dev, uv_dev, apron=self._apron, is_hdr=self.is_hdr)
-            self._wctxs = [self._wctxs[1], self._wctxs[2], wctx]
+            if rebuilt:
+                self._wctxs = [
+                    self._build_wctx(self._frames_y[i], self._frames_uv[i])
+                    for i in range(2)] + [None]
+            else:
+                self._wctxs = [self._wctxs[1], self._wctxs[2], None]
+            self._wctxs[2] = self._build_wctx(y_dev, uv_dev)
         self.frame_count += 1
         self._ofc_start = time.perf_counter()
 
     def calculate_optical_flow(self) -> None:
         """Compute flow for the newest pair (slots 1,2); swap the flow double buffer
         so warping uses the previous pair's flow (ref: opticalFlowCalcSDR.cpp:44-139)."""
-        # Bucket the static cost-volume depth to the current radius: fewer layers
-        # AND a narrower candidate span (strip width) as the auto scaler backs off
-        # — spans 6/26/62/114 px for buckets 5/8/12/16. Compilations are cached per
-        # visited bucket.
-        num_layers = next(b for b in (5, 8, 12, flow_ops.MAX_R)
-                          if self.search_radius <= b)
+        # Bucket the static cost-volume depth to the radius captured at
+        # update_frame (the apron/context geometry was sized for it): fewer
+        # layers AND a narrower candidate span as the auto scaler backs off —
+        # spans 6/26/62/114 px for buckets 5/8/12/16. Compilations are cached
+        # per visited bucket.
+        num_layers = self._bucket
+        self._flow_buckets = [self._flow_buckets[1], num_layers]
         scalars = (jnp.int32(self.search_radius), jnp.int32(self.delta_scalar),
                    jnp.int32(self.neighbor_scalar))
         if self.use_strips and self._ctxs[1] is not None:

@@ -58,12 +58,21 @@ def rel_span(num_layers: int) -> tuple[int, int]:
     return lo, hi - lo + 1
 
 
-def apron_for(low_h: int, low_w: int) -> int:
-    """Static bound on |offset|: each iteration's adjust adds at most 64 per axis
-    step, plus 64 for the candidate being evaluated; round up to a multiple of 16."""
+def max_rel(num_layers: int) -> int:
+    """Largest |signed-square candidate step| for a radius bucket."""
+    lo, span = rel_span(num_layers)
+    return max(-lo, span + lo - 1)
+
+
+def apron_for(low_h: int, low_w: int, num_layers: int = MAX_R) -> int:
+    """Static bound on |offset| for a radius BUCKET: each iteration's adjust adds
+    at most max_rel per axis step, plus one more for the candidate being
+    evaluated; round up to a multiple of 16. Offsets reset to zero per frame
+    pair, so the bound holds per pair at that pair's bucket — smaller buckets
+    get much smaller contexts/bands (64 vs 576 at the radius-5 floor)."""
     iters = config.num_pyramid_iterations(config.initial_window_size(low_h, low_w))
-    a = 64 * (iters + 1)
-    return -(-a // 16) * 16
+    a = max_rel(num_layers) * (iters + 1)
+    return max(32, -(-a // 16) * 16)
 
 
 def _mirror_pad_1d_axis(x: jnp.ndarray, a: int, axis: int) -> jnp.ndarray:

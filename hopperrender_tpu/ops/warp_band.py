@@ -164,13 +164,14 @@ def _merge_cells_kernel(
                 w = jnp.where(sub == 0, w, (w >> sh) | (wm1 << sh2))
             return w[:, :128]
 
+        unroll = next((u for u in (8, 4, 2, 1) if cps % u == 0), 1)
+
         def group_body(gi, _):
             """One (8-row group, 128-lane subtile) output tile."""
             cr8 = gi // n_sub
             g = gi - cr8 * n_sub
 
-            def body(j, accs):
-                acc12, acc21 = accs
+            def one_cell(j, acc12, acc21):
                 sub_cr = j // cps
                 jj = j - sub_cr * cps
                 cr_l = cr8 * sub_per + sub_cr
@@ -196,9 +197,17 @@ def _merge_cells_kernel(
                     acc21 = jnp.where(mask, v, acc21)
                 return acc12, acc21
 
+            def body(ju, accs):
+                # Unrolled: independent per-cell chains overlap in the VPU
+                # pipeline (load -> roll -> realign -> merge is serial per cell).
+                acc12, acc21 = accs
+                for u in range(unroll):
+                    acc12, acc21 = one_cell(ju * unroll + u, acc12, acc21)
+                return acc12, acc21
+
             zero = jnp.zeros((8, 128), U32)
             acc12, acc21 = jax.lax.fori_loop(
-                0, sub_per * cps, body, (zero, zero))
+                0, (sub_per * cps) // unroll, body, (zero, zero))
 
             if mode == 0:
                 packed = acc12

@@ -8,10 +8,12 @@ from hopperrender_tpu.vio import nv12
 
 cfgname = sys.argv[1] if len(sys.argv) > 1 else "4k-hdr"
 which = sys.argv[2] if len(sys.argv) > 2 else "band"
+radius = int(sys.argv[3]) if len(sys.argv) > 3 else 16
 W, H, is_hdr = (3840, 2160, True) if cfgname == "4k-hdr" else \
                ((3840, 2160, False) if cfgname == "4k-sdr" else (1920, 1080, False))
 rs, low_h, low_w = hcfg.calc_flow_dims(H, W, hcfg.MAX_CALC_RES)
-apron = flow_strip.apron_for(low_h, low_w)
+bucket = next(b for b in (5, 8, 12, 16) if radius <= b)
+apron = flow_strip.apron_for(low_h, low_w, bucket)
 rng = np.random.default_rng(0)
 y1, uv1 = nv12.synthetic_frame(rng, H, W, is_hdr=is_hdr, motion_x=0)
 y2, uv2 = nv12.synthetic_frame(rng, H, W, is_hdr=is_hdr, motion_x=2)
@@ -50,4 +52,4 @@ for k in (1, 3):
     times[k] = best
     print(f"k={k} best {best*1e3:.1f} ms", flush=True)
 ms = (times[3] - times[1]) / 2 * 1e3
-print(f"{cfgname} {which} warp+2ctx per output: {ms:.2f} ms", flush=True)
+print(f"{cfgname} {which} r{radius} (apron {apron}) warp+2ctx per output: {ms:.2f} ms", flush=True)

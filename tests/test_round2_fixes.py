@@ -156,3 +156,83 @@ def test_pipeline_worker_death_unblocks_producer(rng):
     with pytest.raises(RuntimeError, match="engine thread failed"):
         list(pipe.outputs(timeout=10))
     pipe.join()
+
+
+# -- bucket-dependent aprons ------------------------------------------------
+
+def test_apron_bucket_sizes():
+    from hopperrender_tpu.ops import flow_strip
+    a16 = flow_strip.apron_for(270, 480, 16)
+    a8 = flow_strip.apron_for(270, 480, 8)
+    a5 = flow_strip.apron_for(270, 480, 5)
+    assert a16 == 576 and a8 == 144 and a5 == 48
+    for a in (a16, a8, a5):
+        assert a % 16 == 0
+
+
+def test_apron_invariance_of_outputs(rng):
+    """The apron is pure padding: pyramid flow and warp outputs must be
+    identical across apron sizes (radius 5 fits both 48 and 576)."""
+    import jax.numpy as jnp
+    from hopperrender_tpu.ops import flow_strip, warp_strip
+
+    h, w, rs = 64, 128, 2
+    low_h, low_w = h >> rs, w >> rs
+    f1 = nv12.synthetic_frame(rng, h, w, motion_x=0)
+    f2 = nv12.synthetic_frame(rng, h, w, motion_x=3)
+    radius = jnp.int32(5)
+    outs = []
+    for apron in (32, 144):
+        ctx1 = flow_strip.build_frame_context(
+            jnp.asarray(f1[0]), jnp.asarray(f1[1]), apron=apron, is_hdr=False,
+            res_scalar=rs)
+        _, blurred, raw = flow_strip.pyramid_flow_strip(
+            ctx1, jnp.asarray(f2[0]), jnp.asarray(f2[1]), radius,
+            jnp.int32(8), jnp.int32(6), low_h=low_h, low_w=low_w,
+            res_scalar=rs, is_hdr=False, num_layers=5, apron=apron,
+            dim_y=h, dim_x=w)
+        c12 = warp_strip.build_warp_context(jnp.asarray(f1[0]), jnp.asarray(f1[1]),
+                                            apron=apron, is_hdr=False)
+        c21 = warp_strip.build_warp_context(jnp.asarray(f2[0]), jnp.asarray(f2[1]),
+                                            apron=apron, is_hdr=False)
+        oy, ouv = warp_strip.warp_frame_strip(
+            c12, c21, blurred, jnp.float32(0.4), jnp.float32(0.0),
+            jnp.float32(255.0), res_scalar=rs, mode=2, is_hdr=False,
+            dim_y=h, dim_x=w, apron=apron)
+        outs.append((np.asarray(blurred), int(raw), np.asarray(oy), np.asarray(ouv)))
+    np.testing.assert_array_equal(outs[0][0], outs[1][0])
+    assert outs[0][1] == outs[1][1]
+    np.testing.assert_array_equal(outs[0][2], outs[1][2])
+    np.testing.assert_array_equal(outs[0][3], outs[1][3])
+
+
+def test_engine_apron_transitions_stay_exact(rng):
+    """Forcing the search radius across buckets mid-stream (engine rebuilds
+    contexts at the new apron) must match an engine pinned at the max apron."""
+    from hopperrender_tpu.engine.flow_engine import OpticalFlowEngine
+    from hopperrender_tpu.ops import flow_strip
+
+    h, w = 576, 192  # > 270 lines: strip path (rs=2)
+    frames = [nv12.synthetic_frame(rng, h, w, motion_x=i * 2) for i in range(6)]
+    radii = [16, 16, 8, 5, 5, 16]
+
+    def run(pin_max):
+        eng = OpticalFlowEngine(h, w)
+        if pin_max:
+            # Pin by monkeypatching the bucket to always report MAX.
+            eng._radius_bucket = lambda: 16
+        outs = []
+        for (y, uv), r in zip(frames, radii):
+            eng.search_radius = r
+            eng.update_frame(y, uv)
+            if eng.frame_count >= 3:
+                eng.calculate_optical_flow()
+                oy, ouv = eng.warp_frames(0.5, 2)
+                outs.append((np.asarray(oy), np.asarray(ouv)))
+        return outs
+
+    a = run(False)
+    b = run(True)
+    for (ya, uva), (yb, uvb) in zip(a, b):
+        np.testing.assert_array_equal(ya, yb)
+        np.testing.assert_array_equal(uva, uvb)
