@@ -99,7 +99,8 @@ def main() -> None:
     def flow_unit(y1, uv1, y2, uv2):
         if use_strips:
             ctx = flow_strip.build_frame_context(y1, uv1, apron=apron, is_hdr=is_hdr,
-                                                 res_scalar=rs if rs <= 4 else None)
+                                                 res_scalar=rs if rs <= 4 else None,
+                                                 low_dims=(low_h, low_w))
             _, blurred, raw = flow_strip.pyramid_flow_strip(
                 ctx, y2, uv2, radius, jnp.int32(8), jnp.int32(6),
                 low_h=low_h, low_w=low_w, res_scalar=rs, is_hdr=is_hdr,

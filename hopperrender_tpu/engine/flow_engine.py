@@ -207,7 +207,8 @@ class OpticalFlowEngine:
     def _build_ctx(self, y_dev, uv_dev):
         return flow_strip.build_frame_context(
             y_dev, uv_dev, apron=self._apron, is_hdr=self.is_hdr,
-            res_scalar=self.res_scalar if self.res_scalar <= 4 else None)
+            res_scalar=self.res_scalar if self.res_scalar <= 4 else None,
+            low_dims=(self.low_h, self.low_w))
 
     def _build_wctx(self, y_dev, uv_dev):
         return warp_strip.build_warp_context(

@@ -109,6 +109,36 @@ def _pad_to_multiple(x: jnp.ndarray, axis: int, m: int) -> jnp.ndarray:
     return jax.lax.pad(x, jnp.zeros((), x.dtype), cfg)
 
 
+def patch_extents(low_h: int, low_w: int, window: int, res_scalar: int,
+                  apron: int) -> tuple[int, int, int, int]:
+    """Static decimated-plane extents (hd, wd, hcd, wcd) REQUIRED for clip-free
+    (w, w) patch gathers at this window size, with offsets bounded by the apron.
+    lax.gather in CLIP mode clips the patch START when start > dim - w, which
+    SHIFTS the whole patch and corrupts real pixels of overhanging windows —
+    the planes must be large enough that no legal start clips."""
+    a, ac, rs = apron, apron // 2, res_scalar
+    lh = -(-low_h // window) * window
+    lw = -(-low_w // window) * window
+    rc = rs - 1
+    hd = ((((lh - window) << rs) + 2 * a) >> rs) + window
+    wd = ((((lw - window) << rs) + 2 * a) >> rs) + window
+    hcd = (((((lh - window) << rs) >> 1) + 2 * ac) >> rc) + window
+    wcd = (((((lw - window) << rs) >> 1) + 2 * ac) >> rc) + window
+    return hd, wd, hcd, wcd
+
+
+def patch_fits(ctx: dict, *, low_h: int, low_w: int, window: int,
+               res_scalar: int, apron: int) -> bool:
+    """Can the coarse-window patch gather run clip-free on this context?"""
+    if "dec_y" not in ctx:
+        return False
+    hd = ctx["dec_y"].shape[0] // (1 << (2 * res_scalar))
+    hcd = ctx["dec_uv"].shape[0] // (1 << (2 * (res_scalar - 1)))
+    need = patch_extents(low_h, low_w, window, res_scalar, apron)
+    return (need[0] <= hd and need[1] <= ctx["dec_y"].shape[1]
+            and need[2] <= hcd and need[3] <= ctx["dec_uv"].shape[1])
+
+
 def _phase_decimate(plane: jnp.ndarray, p: int) -> jnp.ndarray:
     """Fold 2^rs-phase decimation into rows: out[(py*p + px)*Hd + i, j] ==
     plane[i*p + py, j*p + px]. Used by the coarse-window patch gather."""
@@ -121,9 +151,11 @@ def _phase_decimate(plane: jnp.ndarray, p: int) -> jnp.ndarray:
             .reshape(p * p * hd, wd))
 
 
-@functools.partial(jax.jit, static_argnames=("apron", "is_hdr", "res_scalar"))
+@functools.partial(jax.jit, static_argnames=("apron", "is_hdr", "res_scalar",
+                                              "low_dims"))
 def build_frame_context(y: jnp.ndarray, uv: jnp.ndarray, *, apron: int, is_hdr: bool,
-                        res_scalar: int | None = None):
+                        res_scalar: int | None = None,
+                        low_dims: tuple[int, int] | None = None):
     """Derived planes for strip gathering, built once per source frame:
       pad_y    (Hp, Wp)      mirror-apron luma
       pad_y_t  (Wp, Hp)      transposed (for Y-axis candidate steps)
@@ -131,6 +163,9 @@ def build_frame_context(y: jnp.ndarray, uv: jnp.ndarray, *, apron: int, is_hdr: 
       pad_u_t / pad_v_t      transposed split chroma planes
       dec_y / dec_uv         phase-decimated planes for coarse-window patch
                              gathers (only when res_scalar is given and <= 4)
+    When low_dims=(low_h, low_w) is given, the decimated planes are zero-padded
+    so every window in the pyramid schedule can patch-gather clip-free (see
+    patch_extents); without it, patch_fits() gates windows to what fits.
     All returned in their natural dtype; block views are bitcast at gather time."""
     a = apron
     ac = a // 2
@@ -155,8 +190,26 @@ def build_frame_context(y: jnp.ndarray, uv: jnp.ndarray, *, apron: int, is_hdr: 
                pad_u_t=pad_u_t, pad_v_t=pad_v_t)
     if res_scalar is not None and 1 <= res_scalar <= 4:
         assert a % (1 << res_scalar) == 0 and ac % (1 << (res_scalar - 1)) == 0
-        ctx["dec_y"] = _phase_decimate(pad_y, 1 << res_scalar)
-        ctx["dec_uv"] = _phase_decimate(pad_uv, 1 << (res_scalar - 1))
+        dec_src_y, dec_src_uv = pad_y, pad_uv
+        if low_dims is not None:
+            # Grow the decimation inputs so every scheduled window's patch
+            # starts stay clip-free (values past the mirror apron are only ever
+            # read for masked positions — zeros are fine).
+            rs = res_scalar
+            need = [1, 1, 1, 1]
+            for _, w in flow_ops.window_schedule(*low_dims):
+                e = patch_extents(low_dims[0], low_dims[1], w, rs, a)
+                need = [max(n, v) for n, v in zip(need, e)]
+            ry = max(0, (need[0] << rs) - pad_y.shape[0])
+            cy = max(0, (need[1] << rs) - pad_y.shape[1])
+            if ry or cy:
+                dec_src_y = jnp.pad(pad_y, ((0, ry), (0, cy)))
+            rc = max(0, (need[2] << (rs - 1)) - pad_uv.shape[0])
+            cc = max(0, (need[3] << (rs - 1)) - pad_uv.shape[1])
+            if rc or cc:
+                dec_src_uv = jnp.pad(pad_uv, ((0, rc), (0, cc)))
+        ctx["dec_y"] = _phase_decimate(dec_src_y, 1 << res_scalar)
+        ctx["dec_uv"] = _phase_decimate(dec_src_uv, 1 << (res_scalar - 1))
     return ctx
 
 
@@ -656,15 +709,13 @@ def pyramid_flow_strip(
         for step in (0, 1):
             # Coarse windows: patch gathers (one descriptor per layer x window);
             # fine windows: strips (descriptor count would explode otherwise).
+            # patch_fits guards against CLIPPED patch starts (which shift the
+            # patch content): windows whose worst-case start overruns the
+            # decimated planes fall back to strips.
             n_desc = num_layers * -(-low_h // window) * -(-low_w // window)
-            if "dec_y" in ctx1:
-                hd = ctx1["dec_y"].shape[0] // (1 << (2 * res_scalar))
-                hcd = ctx1["dec_uv"].shape[0] // (1 << (2 * (res_scalar - 1)))
-                fits = window <= min(hd, ctx1["dec_y"].shape[1],
-                                     hcd, ctx1["dec_uv"].shape[1])
-            else:
-                fits = False
-            use_patch = fits and n_desc <= 4096
+            use_patch = n_desc <= 4096 and patch_fits(
+                ctx1, low_h=low_h, low_w=low_w, window=window,
+                res_scalar=res_scalar, apron=apron)
             kernel = delta_window_sums_patch if use_patch else delta_window_sums_strip
             sums = kernel(
                 ctx1, f2y, f2uv, offsets, radius, delta_scalar, neighbor_scalar,

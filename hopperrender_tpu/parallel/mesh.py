@@ -58,13 +58,9 @@ def pyramid_flow_strip_sharded(
             n_wy = -(-low_h // window)
             n_wx = -(-low_w // window)
             n_desc = L * n_wy * n_wx
-            if "dec_y" in ctx1:
-                hd = ctx1["dec_y"].shape[0] // (1 << (2 * res_scalar))
-                hcd = ctx1["dec_uv"].shape[0] // (1 << (2 * (res_scalar - 1)))
-                fits = window <= min(hd, ctx1["dec_y"].shape[1],
-                                     hcd, ctx1["dec_uv"].shape[1])
-            else:
-                fits = False
+            fits = flow_strip.patch_fits(
+                ctx1, low_h=low_h, low_w=low_w, window=window,
+                res_scalar=res_scalar, apron=apron)
             kw = dict(window_size=window, res_scalar=res_scalar,
                       iteration=iteration, step=step, is_hdr=is_hdr,
                       apron=apron, dim_y=dim_y, dim_x=dim_x)
@@ -194,7 +190,8 @@ def make_multichip_step(
             # (built from the already-resident frame), segments/layers sharded.
             ctx1 = flow_strip.build_frame_context(
                 f1y, f1uv, apron=apron, is_hdr=is_hdr,
-                res_scalar=res_scalar if res_scalar <= 4 else None)
+                res_scalar=res_scalar if res_scalar <= 4 else None,
+                low_dims=(low_h, low_w))
             _, blurred, delta_raw = pyramid_flow_strip_sharded(
                 ctx1, f2y, f2uv, radius, dscalar, nscalar,
                 low_h=low_h, low_w=low_w, res_scalar=res_scalar, is_hdr=is_hdr,

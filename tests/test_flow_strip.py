@@ -162,3 +162,52 @@ def test_pyramid_with_patch_routing_matches_golden(rng):
     np.testing.assert_array_equal(np.asarray(blurred), g_blur)
     norm = low_h * low_w * 10
     assert int(raw) // norm == g_delta
+
+
+@pytest.mark.parametrize("axis", [0, 1])
+def test_patch_kernel_clip_free_at_extreme_offsets(rng, axis):
+    """Regression: offsets near the apron bound push overhanging windows' patch
+    starts past the decimated planes; lax.gather CLIP then SHIFTS the patch,
+    corrupting real pixels. With low_dims padding + the patch_fits gate the
+    patch path must stay exact at the worst-case offsets."""
+    h, w = 80, 144
+    rs, low_h, low_w = 2, 20, 36
+    window = 32                      # lw_pad 64 > low_w: overhanging window col
+    bucket = 8
+    apron = flow_strip.apron_for(low_h, low_w, bucket)
+    f1y, f1uv = make_frame(rng, h, w)
+    f2y, f2uv = make_frame(rng, h, w)
+    # Window-constant offsets at the pyramid's legal extreme (apron - max_rel).
+    bound = apron - flow_strip.max_rel(bucket)
+    offsets = np.zeros((2, low_h, low_w), np.int16)
+    offsets[axis] = bound
+    offsets[1 - axis] = -bound
+    ctx = flow_strip.build_frame_context(
+        jnp.asarray(f1y), jnp.asarray(f1uv), apron=apron, is_hdr=False,
+        res_scalar=rs, low_dims=(low_h, low_w))
+    assert flow_strip.patch_fits(ctx, low_h=low_h, low_w=low_w, window=window,
+                                 res_scalar=rs, apron=apron)
+    got = flow_strip.delta_window_sums_patch(
+        ctx, jnp.asarray(f2y), jnp.asarray(f2uv), jnp.asarray(offsets),
+        jnp.int32(7), jnp.int32(8), jnp.int32(6),
+        window_size=window, res_scalar=rs, iteration=0, step=0,
+        is_hdr=False, num_layers=bucket, apron=apron, dim_y=h, dim_x=w)
+    want = flow_ops.delta_window_sums(
+        jnp.asarray(f1y), jnp.asarray(f1uv), jnp.asarray(f2y), jnp.asarray(f2uv),
+        jnp.asarray(offsets), jnp.int32(7), jnp.int32(8), jnp.int32(6),
+        window_size=window, res_scalar=rs, iteration=0, step=0,
+        is_hdr=False, num_layers=bucket)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_patch_fits_rejects_unpadded_overhang(rng):
+    """Without low_dims padding, the gate must reject the hazardous window."""
+    h, w = 80, 144
+    rs, low_h, low_w = 2, 20, 36
+    apron = flow_strip.apron_for(low_h, low_w, 8)
+    f1y, f1uv = make_frame(rng, h, w)
+    ctx = flow_strip.build_frame_context(
+        jnp.asarray(f1y), jnp.asarray(f1uv), apron=apron, is_hdr=False,
+        res_scalar=rs)
+    assert not flow_strip.patch_fits(ctx, low_h=low_h, low_w=low_w, window=32,
+                                     res_scalar=rs, apron=apron)
