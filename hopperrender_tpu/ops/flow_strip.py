@@ -246,13 +246,24 @@ def _strip_gather(plane: jnp.ndarray, row_idx: jnp.ndarray, base: jnp.ndarray,
     else:
         g = g32.astype(plane.dtype)
     flat = g.reshape(g32.shape[0], nb * group)
-    # Normalize the remainder: strips[s, k] = flat[s, k + rem[s]].
-    out = jnp.zeros_like(flat)
-    for m in range(group):
-        shifted = jnp.concatenate(
-            [flat[:, m:], jnp.zeros((flat.shape[0], m), flat.dtype)], axis=1)
-        out = jnp.where(rem[:, None] == m, shifted, out)
-    return out
+
+    # Normalize the remainder: strips[s, k] = flat[s, k + rem[s]], as a dense
+    # select over shifted copies. For groups > 8 the select is TWO-LEVEL
+    # (rem = 8q + r): 8 + group/8 copies instead of `group` — big blocks
+    # gather ~2.4x faster per index (chip-probed: 32 B = 3.8 ns/idx vs 8 B =
+    # 9.3) without a select blow-up.
+    def shift_select(arr, amounts, sel):
+        out = jnp.zeros_like(arr)
+        for m in amounts:
+            shifted = jnp.concatenate(
+                [arr[:, m:], jnp.zeros((arr.shape[0], m), arr.dtype)], axis=1)
+            out = jnp.where(sel[:, None] == m, shifted, out)
+        return out
+
+    if group <= 8:
+        return shift_select(flat, range(group), rem)
+    fine = shift_select(flat, range(8), rem & 7)
+    return shift_select(fine, range(0, group, 8), rem & ~7)
 
 
 def _extract_layers(strips: jnp.ndarray, layer_starts: jnp.ndarray, n_pix: int,
@@ -323,8 +334,11 @@ def delta_window_sums_strip(
     min_rel, span = rel_span(L)
     # Context planes are uint8 / uint16-pairs for BOTH bit depths (HDR pre-shifted
     # >>8 at context build): 8-byte blocks throughout.
-    group_y = 8
-    group_c = 4
+    # 32-byte gather blocks: the TPU block-gather rate IMPROVES with block
+    # size up to 32 B (3.8 vs 9.3 ns/idx, scripts/gather_probe.py) AND fewer
+    # blocks cover each strip; the remainder select is two-level (8 + G/8).
+    group_y = 32          # u8 elements
+    group_c = 16          # u16 pair elements = 32 B
 
     n_wy = -(-low_h // w)
     n_wx = -(-low_w // w)
@@ -587,6 +601,87 @@ def delta_window_sums_patch(
                       layer_offset=layer_offset)
 
 
+def delta_window_sums_uniform(
+    ctx: dict,
+    f2y: jnp.ndarray,
+    f2uv: jnp.ndarray,
+    offsets: jnp.ndarray,
+    radius: jnp.ndarray,
+    delta_scalar: jnp.ndarray,
+    neighbor_scalar: jnp.ndarray,
+    *,
+    window_size: int,
+    res_scalar: int,
+    iteration: int,
+    step: int,
+    is_hdr: bool,
+    num_layers: int,
+    apron: int,
+    dim_y: int,
+    dim_x: int,
+) -> jnp.ndarray:
+    """Zero-gather twin of delta_window_sums_strip for UNIFORM offset planes
+    (every window holds the same offset — true at iteration 0, where offsets
+    start zeroed, and at every later step once the pyramid has converged on
+    global motion, e.g. panning content). Each layer's frame-1 samples are
+    then ONE (low_h, low_w) dynamic slice of a phase-decimated plane. Callers
+    must guard with the uniformity predicate (pyramid_flow_strip wraps this
+    and the gather kernels in lax.cond)."""
+    assert res_scalar >= 1 and "dec_y" in ctx
+    rs = res_scalar
+    L = num_layers
+    a, ac = apron, apron // 2
+    P = 1 << rs
+    Pc = 1 << (rs - 1)
+    low_h, low_w = offsets.shape[1:]
+    w = window_size
+
+    ix = offsets[0, 0, 0].astype(jnp.int32)
+    iy = offsets[1, 0, 0].astype(jnp.int32)
+    lz = jnp.arange(L, dtype=jnp.int32)
+    rel = flow_ops._signed_square_i16(
+        ((lz % radius) - radius // 2).astype(jnp.int16)).astype(jnp.int32)
+
+    hd = ctx["dec_y"].shape[0] // (P * P)
+    hcd = ctx["dec_uv"].shape[0] // (Pc * Pc)
+
+    def y_slice(pos_y, pos_x):
+        row = ((pos_y & (P - 1)) * P + (pos_x & (P - 1))) * hd + (pos_y >> rs)
+        return jax.lax.dynamic_slice(
+            ctx["dec_y"], (row, pos_x >> rs), (low_h, low_w)).astype(jnp.int32)
+
+    def uv_slice(pos_cy, pos_cx):
+        if Pc == 1:
+            row, col = pos_cy, pos_cx
+        else:
+            row = ((pos_cy & (Pc - 1)) * Pc + (pos_cx & (Pc - 1))) * hcd \
+                + (pos_cy >> (rs - 1))
+            col = pos_cx >> (rs - 1)
+        return jax.lax.dynamic_slice(ctx["dec_uv"], (row, col), (low_h, low_w))
+
+    samp, pairs = [], []
+    for l_i in range(L):
+        rel_l = rel[l_i]
+        off_x = ix + (rel_l if step % 2 == 0 else 0)
+        off_y = iy + (rel_l if step % 2 == 1 else 0)
+        # int16 wraparound parity with the gather kernels' candidate math.
+        off_x = off_x.astype(jnp.int16).astype(jnp.int32)
+        off_y = off_y.astype(jnp.int16).astype(jnp.int32)
+        samp.append(y_slice(off_y + a, off_x + a))
+        # Chroma pairs: (even + q) >> 1 == even/2 + (q >> 1) exactly, so the
+        # uniform slice start is (off >> 1) + chroma apron (see strip twin).
+        pairs.append(uv_slice((off_y >> 1) + ac, (off_x >> 1) + ac))
+    samp = jnp.stack(samp)
+    u_s, v_s = _unpack_pairs(jnp.stack(pairs), False)
+
+    off_x_lw, off_y_lw = _window_offsets(offsets, radius, L, w, step)
+    return _cost_tail(samp, u_s, v_s, f2y, f2uv, offsets, off_x_lw, off_y_lw,
+                      radius, delta_scalar, neighbor_scalar,
+                      window_size=w, res_scalar=rs, iteration=iteration,
+                      step=step, is_hdr=is_hdr, num_layers=L, dim_y=dim_y,
+                      dim_x=dim_x)
+
+
 def _cost_tail(samp, u_s, v_s, f2y, f2uv, offsets, off_x_lw, off_y_lw,
                radius, delta_scalar, neighbor_scalar, *, window_size, res_scalar,
                iteration, step, is_hdr, num_layers, dim_y, dim_x, seg0=0,
@@ -672,9 +767,9 @@ def _cost_tail(samp, u_s, v_s, f2y, f2uv, offsets, off_x_lw, off_y_lw,
 
 
 def group_c_t(is_hdr: bool) -> int:
-    """Blocks for transposed split chroma planes (uint8 for both bit depths since
-    the HDR context pre-shifts >>8): 8 B per index."""
-    return 8
+    """Blocks for transposed split chroma planes (uint8 for both bit depths
+    since the HDR context pre-shifts >>8): 32 B per index (see group_y)."""
+    return 32
 
 
 @functools.partial(
@@ -717,12 +812,32 @@ def pyramid_flow_strip(
                 ctx1, low_h=low_h, low_w=low_w, window=window,
                 res_scalar=res_scalar, apron=apron)
             kernel = delta_window_sums_patch if use_patch else delta_window_sums_strip
-            sums = kernel(
-                ctx1, f2y, f2uv, offsets, radius, delta_scalar, neighbor_scalar,
-                window_size=window, res_scalar=res_scalar, iteration=iteration,
-                step=step, is_hdr=is_hdr, num_layers=num_layers, apron=apron,
-                dim_y=dim_y, dim_x=dim_x,
-            )
+            kw = dict(window_size=window, res_scalar=res_scalar,
+                      iteration=iteration, step=step, is_hdr=is_hdr,
+                      num_layers=num_layers, apron=apron,
+                      dim_y=dim_y, dim_x=dim_x)
+            if "dec_y" in ctx1:
+                # UNIFORM TIER: when the offset plane holds one value
+                # everywhere (iteration 0 by construction; every step once the
+                # pyramid converges on global motion — panning content), each
+                # layer's samples are one dynamic slice: zero gathers. Decided
+                # on device per step (lax.cond); both branches are bit-exact.
+                uni = jnp.all(offsets == offsets[:, :1, :1])
+                sums = jax.lax.cond(
+                    uni,
+                    lambda o: delta_window_sums_uniform(
+                        ctx1, f2y, f2uv, o, radius, delta_scalar,
+                        neighbor_scalar, **kw),
+                    lambda o: kernel(
+                        ctx1, f2y, f2uv, o, radius, delta_scalar,
+                        neighbor_scalar, **kw),
+                    offsets,
+                )
+            else:
+                sums = kernel(
+                    ctx1, f2y, f2uv, offsets, radius, delta_scalar,
+                    neighbor_scalar, **kw,
+                )
             if iteration == 0 and step == 0:
                 total_delta_raw = jax.lax.dynamic_index_in_dim(
                     sums[:, 0, 0], radius // 2 - 1, keepdims=False

@@ -7,18 +7,36 @@ cost (~6.2M block indices per 4K output ~= 92 ms). This kernel has NO gathers:
   * grid over (row band, width tile); one DMA per source pulls the
     displacement-bounded band (rows +- apron) of the warp-padded plane into VMEM
     as packed uint32 lanes;
-  * per cell (the 2^rs x 2^rs block sharing one displacement,
-    ref: warpFrameKernelSDR.h:153-158), ONE tile-aligned (8, 256)-lane vector
-    load at a dynamic row offset, a dynamic lane roll (pltpu.roll) to the cell's
-    output position, a sub-lane byte realign (shift/or), and a masked merge into
-    an (8, 128) accumulator — whole-register VPU ops only, no sub-tile slices
-    (the Mosaic rejection found in round 1);
+  * per (8, 128) output SUBTILE, a two-tier merge:
+
+    FAST PATH (tile-granular, the common case on blurred/smooth flow): one
+    (RES_V+8, 384) window load at a per-subtile base + ONE dynamic lane roll,
+    then destination-indexed one-level SELECT CHAINS — RES_H static-slice
+    stages resolve each lane's column residual, RES_V row-slice stages resolve
+    each lane's row residual — alignment for all 32+ cells in ~2 rolls' worth
+    of VPU work (chip-probed: select stages run ~4 vreg-ops/cycle while a
+    dynamic roll costs ~68 cycles; per-cell chains are ~60-140 cycles EACH).
+    Residuals come from per-(cell-row, lane) i32 maps packed in XLA; a
+    per-subtile flag certifies the residual bounds.
+
+    SLOW PATH (bit-exact fallback for subtiles whose in-tile displacement
+    spread exceeds the residual bounds): per cell, ONE tile-aligned (16, 256)
+    vector load at a dynamic row offset, a dynamic sublane roll (pltpu.roll),
+    a dynamic lane roll, a sub-lane byte realign (shift/or), and a masked
+    merge into the accumulator — whole-register VPU ops only.
+
   * blend + levels run dense on the accumulated tile as bit-exact twins of
     ops/warp.py (_apply_levels_y/_apply_levels_uv reused verbatim).
 
 Outputs are identical to warp_strip.warp_frame_strip (tested exhaustively in
-interpret mode and on hardware via the engine digests). Requires res_scalar in
-{2, 3} and band-compatible dims (band_geometry_ok); other configs keep strips.
+interpret mode and on hardware via the engine digests) on BOTH paths — the fast
+path computes the same source positions, so the flag only selects between two
+exact implementations. Requires res_scalar in {2, 3} and band-compatible dims
+(band_geometry_ok); other configs keep strips.
+
+Mosaic constraints probed and encoded: dynamic sublane offsets must be
+8-aligned, dynamic lane offsets 128-aligned, DMA lane widths 128-multiples,
+SMEM minor dim pads to 128, SMEM block dim -2 must be 8-divisible.
 """
 
 from __future__ import annotations
@@ -34,6 +52,16 @@ from hopperrender_tpu.ops.warp import F32, _apply_levels_y, _apply_levels_uv
 from hopperrender_tpu.ops.warp_strip import _cell_displacements
 
 U32 = jnp.uint32
+
+# Fast-path residual bounds (per (8,128) output subtile): row residuals after
+# the 8-aligned base live in [0, RES_V); lane residuals after the per-subtile
+# roll in [0, RES_H). Subtiles exceeding either run the per-cell slow path.
+# 16/16 = in-subtile spreads of <=8 rows and <=16 u32 lanes — ample for
+# blurred (8x8 box) flow fields; the H select chain's cost is linear in both.
+RES_V = 16
+RES_H = 16
+RV = RES_V + 8            # rows loaded per fast-path window
+WW = 384                  # fast-path window lanes (roll domain; >= 128+RES_H+1+ramt)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -52,9 +80,15 @@ def _choose_geometry(dim_rows: int, out_w32: int, a_rows: int, a_lanes: int,
         n_bands = -(-dim_rows // band)  # last band clamps its DMA window
         rows = band + 2 * a_rows
         for nt in tile_opts:
-            c32 = out_w32 // nt + 2 * a_lanes
-            c32_alloc = max(256, _round_up(c32 + cb + 1, 128))
-            if n_bufs * (rows + 8) * c32_alloc * 4 > vmem_budget:
+            tile_w32 = out_w32 // nt
+            c32 = tile_w32 + 2 * a_lanes
+            # alloc >= WW+128 so the fast-path (.., WW) window always fits at a
+            # 128-aligned clamped base; +RV row slack for its row window.
+            c32_alloc = max(WW + 128, _round_up(c32 + cb + 1, 128))
+            vmem = (n_bufs * (rows + RV) * c32_alloc * 4     # band scratch
+                    # fmap + out blocks, double-buffered across grid steps
+                    + 2 * 2 * band * tile_w32 * 4)
+            if vmem > vmem_budget:
                 continue
             dma = n_bands * nt * rows * c32 * 4 * n_bufs
             if best is None or dma < best[0]:
@@ -82,10 +116,72 @@ def _pack_u32(plane: jnp.ndarray, per32: int, min_w32: int,
         plane.reshape(h + rpad, w32, per32), U32)
 
 
+def _fast_tables(r, p, q, *, cell: int, per32: int, cb: int, cps: int,
+                 band_rows: int, n_tiles: int, cpt: int, c32_alloc: int):
+    """Fast-path residual maps + per-subtile scalars for one source/plane.
+
+    r, p, q: per-cell (n_cellrows, n_cellcols_padded) tables — band-relative
+    row offset (dy + apron), tile-local packed element column, UV parity
+    (None for luma). Returns:
+      fmap  (n_cellrows, n_tiles*tile_w32) i32 per-lane packed residuals:
+            dyr | xr<<5 | sub<<10 | q<<15
+      fscal (n_subtiles_rows, n_tiles, n_sub) i32 packed per-subtile scalars:
+            rab/8 | bl/128 <<9 | ramt<<16 | ok<<31
+    """
+    n_cr, n_cc = r.shape
+    sub_per = 8 // cell
+    n_sub = cpt // cps
+    tile_w32 = cps * cb
+
+    c32 = p // per32
+    sub = p - c32 * per32
+    if q is None:
+        q = jnp.zeros_like(p)
+
+    # Destination lane (tile-local) of each cell's first lane.
+    jj = jnp.arange(n_cc, dtype=jnp.int32) % cpt
+    dest = (jj % cps) * cb + (jj // cps) * 0   # subtile-local target lane
+    u = c32 - dest[None, :]
+
+    # Per-subtile reductions: group cells (sub_per cell-rows) x (cps cell-cols).
+    n_gr = n_cr // sub_per
+    r_g = r.reshape(n_gr, sub_per, n_tiles, n_sub, cps)
+    u_g = u.reshape(n_gr, sub_per, n_tiles, n_sub, cps)
+    min_r = r_g.min(axis=(1, 4))               # (n_gr, n_tiles, n_sub)
+    max_r = r_g.max(axis=(1, 4))
+    min_u = u_g.min(axis=(1, 4))
+    max_u = u_g.max(axis=(1, 4))
+
+    rab = (min_r >> 3) << 3
+    ok_v = (max_r - rab) < RES_V
+    bl = jnp.clip(min_u & ~127, 0, c32_alloc - WW)
+    ramt = min_u - bl
+    ok_h = (ramt >= 0) & (ramt < 128) & ((max_u - min_u) < RES_H - 1)
+    # Row window bound: the kernel loads at cr8*8 + rab for RV rows; the band
+    # scratch has band_rows + 2a + RV rows, and rab <= 2a, cr8*8 <= band_rows-8.
+    ok = ok_v & ok_h
+    fscal = ((rab >> 3) | ((bl >> 7) << 9) | (ramt << 16)
+             | (ok.astype(jnp.int32) << 31))
+
+    # Per-lane residual map (clips only pad safety: out-of-bound residuals
+    # imply ok=false, so the fast path never consumes the clipped values).
+    def per_cell(base):
+        return jnp.broadcast_to(
+            jnp.repeat(base, sub_per, axis=0)[:, :, :, None],
+            (n_cr, n_tiles, n_sub, cps)).reshape(n_cr, n_cc)
+
+    dyr = jnp.clip(r - per_cell(rab), 0, RES_V - 1)
+    xr = jnp.clip(u - per_cell(min_u), 0, RES_H - 2)
+    mcell = dyr | (xr << 5) | (sub << 10) | (q << 15)
+    # Expand per-cell -> per-lane (each cell owns cb consecutive lanes).
+    fmap = jnp.repeat(mcell, cb, axis=1)
+    return fmap, fscal.reshape(n_gr, n_tiles, n_sub)
+
+
 def _merge_cells_kernel(
     *, cell: int, per32: int, cb: int, band_rows: int, a_rows: int,
     c32: int, c32_alloc: int, tile_w32: int, mode: int, is_hdr: bool,
-    is_uv: bool, n_par: int, cpt: int, nk: int, xdiv8: int,
+    is_uv: bool, n_par: int, cpt: int, nk: int, xdiv8: int, sdiv8: int,
 ):
     """Kernel factory. Refs:
       disp_ref  SMEM (1, 8, cpb*cpt*nk/8) int32, flattened per-cell records of
@@ -94,11 +190,14 @@ def _merge_cells_kernel(
                 including the apron, q selects the UV parity plane. (Flat-ish
                 layout: SMEM pads the minormost dim to 128 and requires the
                 second-to-last block dim to be a multiple of 8.)
+      fscal_ref SMEM (1, 8, sdiv8) int32: per-(group, subtile, source) packed
+                fast-path scalars (see _fast_tables)
       fs_ref    SMEM (1, 1) f32 blending scalar
       lev_ref   SMEM (1, 2) f32 black/white levels
+      fmap12/21 VMEM (cpb, tile_w32) i32 per-lane packed residual maps
       src12/21  ANY  (n_par, src_rows, src_w32) packed u32 source planes
       out_ref   VMEM (band_rows, tile_w32) u32
-      band12/21 VMEM (n_par, band_rows + 2*a_rows, c32_alloc) u32 scratch
+      band12/21 VMEM (n_par, band_rows + 2*a_rows + RV, c32_alloc) u32 scratch
       sem       DMA  (2, n_par)
     """
     rows = band_rows + 2 * a_rows
@@ -108,9 +207,10 @@ def _merge_cells_kernel(
     n_sub = tile_w32 // 128
     fbits = 32 // per32               # packed sub-unit width for the realign
     ebits = 16 if is_hdr else 8       # element width (Y sample / UV byte)
+    n_groups = (band_rows // 8) * n_sub
 
-    def kernel(disp_ref, fs_ref, lev_ref, src12_ref, src21_ref, out_ref,
-               band12, band21, sem):
+    def kernel(disp_ref, fscal_ref, fs_ref, lev_ref, fmap_ref,
+               src12_ref, src21_ref, out_ref, band12, band21, sem):
         emask = U32(0xFFFF if is_hdr else 0xFF)
         lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         row_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
@@ -140,10 +240,10 @@ def _merge_cells_kernel(
         fs21 = (F32(1.0) - fs12).astype(F32)
 
         def fetch_cell(band, r0, p, q_par, target_lane):
-            """One cell's run as an (8, 128) u32 vector, placed at lanes
-            [target_lane, target_lane + cb). Defensive clamps keep every access
-            in bounds even for padded cells (their outputs are sliced off).
-            Mosaic accepts only 8-aligned dynamic sublane and 128-aligned
+            """SLOW PATH: one cell's run as an (8, 128) u32 vector, placed at
+            lanes [target_lane, target_lane + cb). Defensive clamps keep every
+            access in bounds even for padded cells (their outputs are sliced
+            off). Mosaic accepts only 8-aligned dynamic sublane and 128-aligned
             dynamic lane offsets (probed): load aligned, realign with rolls."""
             r0 = jnp.clip(r0, 0, rows - 8)
             c32i = jnp.clip(p // per32, 0, c32 - 1)
@@ -166,11 +266,7 @@ def _merge_cells_kernel(
 
         unroll = next((u for u in (8, 4, 2, 1) if cps % u == 0), 1)
 
-        def group_body(gi, _):
-            """One (8-row group, 128-lane subtile) output tile."""
-            cr8 = gi // n_sub
-            g = gi - cr8 * n_sub
-
+        def slow_group(gi, cr8, g):
             def one_cell(j, acc12, acc21):
                 sub_cr = j // cps
                 jj = j - sub_cr * cps
@@ -206,8 +302,95 @@ def _merge_cells_kernel(
                 return acc12, acc21
 
             zero = jnp.zeros((8, 128), U32)
-            acc12, acc21 = jax.lax.fori_loop(
+            return jax.lax.fori_loop(
                 0, (sub_per * cps) // unroll, body, (zero, zero))
+
+        def fast_source(band, si, scal, cr8, g):
+            """FAST PATH for one source: select-chain realign of the whole
+            (8,128) subtile. scal packs rab/bl/ramt (bounds pre-certified by
+            the ok bit); the residual map is the 16-bit half `si` of fmap."""
+            rab = (scal & 0x1FF) << 3
+            bl = pl.multiple_of(jnp.clip(((scal >> 9) & 0x7F) << 7, 0,
+                                         c32_alloc - WW), 128)
+            ramt = (scal >> 16) & 0xFF
+            ro = pl.multiple_of(jnp.clip(cr8 * 8 + rab, 0, rows - 8), 8)
+            out = jnp.zeros((8, 128), U32)
+            # One aligned (8,128) load covers every cell-row's map for this
+            # group (fmap is expanded to per-output-row granularity; Mosaic
+            # rejects single-row loads at dynamic unaligned row indices).
+            # Both sources' 16-bit maps share one i32 lane (si selects).
+            m8 = fmap_ref[pl.ds(pl.multiple_of(cr8 * 8, 8), 8),
+                          pl.ds(g * 128, 128)]
+            m8 = (m8 >> (16 * si)) & 0xFFFF
+            for sub_cr in range(sub_per):
+                m = jnp.broadcast_to(m8[sub_cr * cell][None, :], (8, 128))
+                dyr = m & 31
+                xr0 = (m >> 5) & 31
+                sub = ((m >> 10) & 31).astype(U32)
+                cur = jnp.zeros((8, 128), U32)
+                for qp in range(n_par):
+                    w = band[qp, pl.ds(ro, RV), pl.ds(bl, WW)]
+                    w = pltpu.roll(w, jnp.remainder(-ramt, WW), axis=1)
+                    xrw = jnp.broadcast_to(xr0[:1], (RV, 128))
+                    h0 = jnp.zeros((RV, 128), U32)
+                    h1 = jnp.zeros((RV, 128), U32) if per32 > 1 else None
+                    for s in range(RES_H):
+                        hm = xrw == s
+                        h0 = jnp.where(hm, w[:, s:s + 128], h0)
+                        if per32 > 1:
+                            h1 = jnp.where(hm, w[:, s + 1:s + 129], h1)
+                    if per32 > 1:
+                        sh = U32(fbits) * sub
+                        sh2 = (U32(32) - sh) & U32(31)
+                        hw = jnp.broadcast_to(sub[:1], (RV, 128))
+                        hh = jnp.where(hw == 0, h0,
+                                       (h0 >> jnp.broadcast_to(sh[:1],
+                                                               (RV, 128)))
+                                       | (h1 << jnp.broadcast_to(sh2[:1],
+                                                                 (RV, 128))))
+                    else:
+                        hh = h0
+                    v = jnp.zeros((8, 128), U32)
+                    for s in range(RES_V):
+                        v = jnp.where(dyr == s, hh[s:s + 8], v)
+                    if n_par > 1:
+                        qm = (m >> 15) & 1
+                        cur = jnp.where(qm == qp, v, cur)
+                    else:
+                        cur = v
+                if sub_per > 1:
+                    keep = (row_i >= sub_cr * cell) & (
+                        row_i < sub_cr * cell + cell)
+                    out = jnp.where(keep, cur, out)
+                else:
+                    out = cur
+            return out
+
+        def group_body(gi, _):
+            """One (8-row group, 128-lane subtile) output tile."""
+            cr8 = gi // n_sub
+            g = gi - cr8 * n_sub
+
+            def scal_at(si):
+                r = (gi * 2 + si)
+                return fscal_ref[0, r // sdiv8, r % sdiv8]
+
+            s12 = scal_at(0)
+            s21 = scal_at(1)
+            ok = jnp.bool_(True)
+            if mode != 1:
+                ok = ok & (s12 < 0)       # bit31 = ok flag
+            if mode != 0:
+                ok = ok & (s21 < 0)
+
+            def fast():
+                a12 = fast_source(band12, 0, s12, cr8, g) \
+                    if mode != 1 else jnp.zeros((8, 128), U32)
+                a21 = fast_source(band21, 1, s21, cr8, g) \
+                    if mode != 0 else jnp.zeros((8, 128), U32)
+                return a12, a21
+
+            acc12, acc21 = jax.lax.cond(ok, fast, lambda: slow_group(gi, cr8, g))
 
             if mode == 0:
                 packed = acc12
@@ -234,30 +417,50 @@ def _merge_cells_kernel(
             out_ref[pl.ds(ro, 8), pl.ds(co, 128)] = packed
             return 0
 
-        jax.lax.fori_loop(0, (band_rows // 8) * n_sub, group_body, 0)
+        jax.lax.fori_loop(0, n_groups, group_body, 0)
 
     return kernel
 
 
-def _band_call(disp, fs, lev, src12, src21, *, cell, per32, cb, band_rows,
-               a_rows, c32, c32_alloc, tile_w32, n_tiles, out_rows, mode,
-               is_hdr, is_uv, n_par, interpret):
+def _band_call(disp, fscal, fs, lev, fmap, src12, src21, *, cell,
+               per32, cb, band_rows, a_rows, c32, c32_alloc, tile_w32, n_tiles,
+               out_rows, mode, is_hdr, is_uv, n_par, interpret):
     n_bands = -(-out_rows // band_rows)
     cpb, cpt, k = disp.shape[2:]
     xdiv8 = cpb * cpt * k // 8
+    n_groups = (band_rows // 8) * (tile_w32 // 128)
+    ns = _round_up(n_groups * 2, 8)
+    sdiv8 = ns // 8
     kern = _merge_cells_kernel(
         cell=cell, per32=per32, cb=cb, band_rows=band_rows, a_rows=a_rows,
         c32=c32, c32_alloc=c32_alloc, tile_w32=tile_w32, mode=mode,
-        is_hdr=is_hdr, is_uv=is_uv, n_par=n_par, cpt=cpt, nk=k, xdiv8=xdiv8)
+        is_hdr=is_hdr, is_uv=is_uv, n_par=n_par, cpt=cpt, nk=k, xdiv8=xdiv8,
+        sdiv8=sdiv8)
     disp = disp.reshape(disp.shape[0], disp.shape[1] * 8, xdiv8)
+    # fscal: (n_gr_total, n_tiles, n_sub, 2) -> (nb, nt*8, sdiv8)
+    n_sub = tile_w32 // 128
+    nb = n_bands
+    f = fscal.reshape(nb, band_rows // 8, fscal.shape[1], n_sub, 2)
+    f = f.transpose(0, 2, 1, 3, 4).reshape(nb, fscal.shape[1], n_groups * 2)
+    if ns != n_groups * 2:
+        f = jnp.pad(f, ((0, 0), (0, 0), (0, ns - n_groups * 2)))
+    f = f.reshape(nb, fscal.shape[1] * 8, sdiv8)
+    # fmap at per-output-row granularity: each cell-row's map repeats for its
+    # `cell` output rows, so the kernel reads one aligned (8,128) block per
+    # group (single-row dynamic loads don't lower on Mosaic).
+    fmap = jnp.repeat(fmap, cell, axis=0)
     return pl.pallas_call(
         kern,
         grid=(n_bands, n_tiles),
         in_specs=[
             pl.BlockSpec((1, 8, xdiv8), lambda b, t: (b, t, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, sdiv8), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((band_rows, tile_w32), lambda b, t: (b, t),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -266,15 +469,15 @@ def _band_call(disp, fs, lev, src12, src21, *, cell, per32, cb, band_rows,
         out_shape=jax.ShapeDtypeStruct((n_bands * band_rows,
                                         n_tiles * tile_w32), U32),
         scratch_shapes=[
-            # +8 rows: cell fetches load 16 sublanes from an 8-aligned start,
-            # which can overrun the filled band by up to 8 (garbage rows are
-            # rolled/masked away, but must not fault).
-            pltpu.VMEM((n_par, band_rows + 2 * a_rows + 8, c32_alloc), U32),
-            pltpu.VMEM((n_par, band_rows + 2 * a_rows + 8, c32_alloc), U32),
+            # +RV rows: cell/window fetches load up to RV sublanes from an
+            # 8-aligned start, which can overrun the filled band (garbage rows
+            # are rolled/masked away, but must not fault).
+            pltpu.VMEM((n_par, band_rows + 2 * a_rows + RV, c32_alloc), U32),
+            pltpu.VMEM((n_par, band_rows + 2 * a_rows + RV, c32_alloc), U32),
             pltpu.SemaphoreType.DMA((2, n_par)),
         ],
         interpret=interpret,
-    )(disp, fs, lev, src12, src21)
+    )(disp, f, fs, lev, fmap, src12, src21)
 
 
 def _geometries(*, res_scalar: int, is_hdr: bool, dim_y: int, dim_x: int,
@@ -344,6 +547,7 @@ def warp_frame_band(
     band_rows, n_tiles, c32, c32_alloc = gy
     tile_w32 = w32 // n_tiles
     cb = cell // per32
+    cps = (128 * per32) // cell
     n_cy = dim_y // cell
     n_cx = dim_x // cell
     cpt = (tile_w32 * per32) // cell
@@ -355,8 +559,11 @@ def warp_frame_band(
         dyc = dy[row_idx][:, col_idx]
         dxc = dx[row_idx][:, col_idx]
         if pad_cx:
-            dyc = jnp.pad(dyc, ((0, 0), (0, pad_cx)))
-            dxc = jnp.pad(dxc, ((0, 0), (0, pad_cx)))
+            # Edge-pad: padded cells replicate the last real cell so they
+            # cannot break the fast path's per-subtile min/max bounds (their
+            # outputs are sliced off).
+            dyc = jnp.pad(dyc, ((0, 0), (0, pad_cx)), mode="edge")
+            dxc = jnp.pad(dxc, ((0, 0), (0, pad_cx)), mode="edge")
         cx_in_tile = jnp.arange(dxc.shape[1], dtype=jnp.int32) % cpt
         return dyc + a, cx_in_tile[None, :] * cell + dxc + a
 
@@ -366,7 +573,18 @@ def warp_frame_band(
     cpb = band_rows // cell
     nb_y = -(-dim_y // band_rows)
     if nb_y * cpb > n_cy:
-        dispY = jnp.pad(dispY, ((0, nb_y * cpb - n_cy), (0, 0), (0, 0)))
+        dispY = jnp.pad(dispY, ((0, nb_y * cpb - n_cy), (0, 0), (0, 0)),
+                        mode="edge")
+    fm12, fsc12 = _fast_tables(
+        dispY[..., 0], dispY[..., 1], None, cell=cell, per32=per32, cb=cb,
+        cps=cps, band_rows=band_rows, n_tiles=n_tiles, cpt=cpt,
+        c32_alloc=c32_alloc)
+    fm21, fsc21 = _fast_tables(
+        dispY[..., 2], dispY[..., 3], None, cell=cell, per32=per32, cb=cb,
+        cps=cps, band_rows=band_rows, n_tiles=n_tiles, cpt=cpt,
+        c32_alloc=c32_alloc)
+    fscY = jnp.stack([fsc12, fsc21], axis=-1)
+    fmY = fm12 | (fm21 << 16)      # both sources' 16-bit maps in one i32
     dispY = (dispY.reshape(nb_y, cpb, n_tiles, cpt, 4)
              .transpose(0, 2, 1, 3, 4))
 
@@ -375,10 +593,11 @@ def warp_frame_band(
     src12y = _pack_u32(wctx12["wpad_y"], per32, min_w32, min_rows_y)[None]
     src21y = _pack_u32(wctx21["wpad_y"], per32, min_w32, min_rows_y)[None]
     outy = _band_call(
-        dispY, fs, lev, src12y, src21y, cell=cell, per32=per32, cb=cb,
-        band_rows=band_rows, a_rows=a, c32=c32, c32_alloc=c32_alloc,
-        tile_w32=tile_w32, n_tiles=n_tiles, out_rows=dim_y, mode=mode,
-        is_hdr=is_hdr, is_uv=False, n_par=1, interpret=interpret)
+        dispY, fscY, fs, lev, fmY, src12y, src21y, cell=cell,
+        per32=per32, cb=cb, band_rows=band_rows, a_rows=a, c32=c32,
+        c32_alloc=c32_alloc, tile_w32=tile_w32, n_tiles=n_tiles,
+        out_rows=dim_y, mode=mode, is_hdr=is_hdr, is_uv=False, n_par=1,
+        interpret=interpret)
     y = jax.lax.bitcast_convert_type(outy, dtype).reshape(
         outy.shape[0], -1)[:dim_y, :dim_x]
 
@@ -387,6 +606,7 @@ def warp_frame_band(
     tile_w32c = w32c // n_tiles_c
     sc_pairs = cell                    # supercell = 2 x-cells sharing flow
     cbc = sc_pairs // per32c
+    cpsc = (128 * per32c) // sc_pairs
     h2 = dim_y // 2
     ac = a // 2
     n_scx = dim_x // (2 * cell)
@@ -401,8 +621,8 @@ def warp_frame_band(
         dxc = dx[sc_row][:, sc_col]
         dyc = dyuv[sc_row][:, sc_col]
         if pad_scx:
-            dxc = jnp.pad(dxc, ((0, 0), (0, pad_scx)))
-            dyc = jnp.pad(dyc, ((0, 0), (0, pad_scx)))
+            dxc = jnp.pad(dxc, ((0, 0), (0, pad_scx)), mode="edge")
+            dyc = jnp.pad(dyc, ((0, 0), (0, pad_scx)), mode="edge")
         q = (dxc & 1).astype(jnp.int32)
         sc_in_tile = jnp.arange(dxc.shape[1], dtype=jnp.int32) % cptc
         p = sc_in_tile[None, :] * sc_pairs + ((dxc - q) >> 1) + ac
@@ -415,7 +635,18 @@ def warp_frame_band(
     nb_c = -(-h2 // band_c)
     n_scy = h2 // cell
     if nb_c * cpbc > n_scy:
-        dispC = jnp.pad(dispC, ((0, nb_c * cpbc - n_scy), (0, 0), (0, 0)))
+        dispC = jnp.pad(dispC, ((0, nb_c * cpbc - n_scy), (0, 0), (0, 0)),
+                        mode="edge")
+    fmc12, fscc12 = _fast_tables(
+        dispC[..., 0], dispC[..., 1], dispC[..., 4], cell=cell, per32=per32c,
+        cb=cbc, cps=cpsc, band_rows=band_c, n_tiles=n_tiles_c, cpt=cptc,
+        c32_alloc=c32c_alloc)
+    fmc21, fscc21 = _fast_tables(
+        dispC[..., 2], dispC[..., 3], dispC[..., 5], cell=cell, per32=per32c,
+        cb=cbc, cps=cpsc, band_rows=band_c, n_tiles=n_tiles_c, cpt=cptc,
+        c32_alloc=c32c_alloc)
+    fscC = jnp.stack([fscc12, fscc21], axis=-1)
+    fmC = fmc12 | (fmc21 << 16)
     dispC = (dispC.reshape(nb_c, cpbc, n_tiles_c, cptc, 6)
              .transpose(0, 2, 1, 3, 4))
 
@@ -433,10 +664,11 @@ def warp_frame_band(
     src12c = pack_uv(wctx12)
     src21c = pack_uv(wctx21)
     outc = _band_call(
-        dispC, fs, lev, src12c, src21c, cell=cell, per32=per32c, cb=cbc,
-        band_rows=band_c, a_rows=ac, c32=c32c, c32_alloc=c32c_alloc,
-        tile_w32=tile_w32c, n_tiles=n_tiles_c, out_rows=h2, mode=mode,
-        is_hdr=is_hdr, is_uv=True, n_par=2, interpret=interpret)
+        dispC, fscC, fs, lev, fmC, src12c, src21c, cell=cell,
+        per32=per32c, cb=cbc, band_rows=band_c, a_rows=ac, c32=c32c,
+        c32_alloc=c32c_alloc, tile_w32=tile_w32c, n_tiles=n_tiles_c,
+        out_rows=h2, mode=mode, is_hdr=is_hdr, is_uv=True, n_par=2,
+        interpret=interpret)
     pair_dtype = jnp.uint32 if is_hdr else jnp.uint16
     pairs = jax.lax.bitcast_convert_type(outc, pair_dtype)
     pairs = pairs.reshape(outc.shape[0], -1)[:h2, :dim_x // 2]

@@ -18,6 +18,9 @@ def main():
     y1 = rng.integers(0, hi, (h, w), dtype=dt); uv1 = rng.integers(0, hi, (h//2, w), dtype=dt)
     y2 = rng.integers(0, hi, (h, w), dtype=dt); uv2 = rng.integers(0, hi, (h//2, w), dtype=dt)
     flow = rng.integers(-25, 26, (2, low_h, low_w)).astype(np.int16)
+    if "smooth" in sys.argv:   # fast-path coverage: near-constant flow
+        flow = (np.array([9, -13], np.int16)[:, None, None]
+                + rng.integers(-1, 2, (2, low_h, low_w)).astype(np.int16))
     c1 = warp_strip.build_warp_context(jnp.asarray(y1), jnp.asarray(uv1), apron=apron, is_hdr=is_hdr)
     c2 = warp_strip.build_warp_context(jnp.asarray(y2), jnp.asarray(uv2), apron=apron, is_hdr=is_hdr)
     scale = 256.0 if is_hdr else 1.0

@@ -19,7 +19,13 @@ y1, uv1 = nv12.synthetic_frame(rng, H, W, is_hdr=is_hdr, motion_x=0)
 y2, uv2 = nv12.synthetic_frame(rng, H, W, is_hdr=is_hdr, motion_x=2)
 f1y, f1uv = jnp.asarray(y1), jnp.asarray(uv1)
 f2y, f2uv = jnp.asarray(y2), jnp.asarray(uv2)
-flow0 = jnp.asarray(rng.integers(-12, 13, (2, low_h, low_w)).astype(np.int16))
+if "smooth" in sys.argv:
+    # Near-constant flow: routes the band kernel's tile-granular fast path
+    # (representative of real blurred flow fields).
+    flow0 = jnp.asarray(np.array([9, -13], np.int16)[:, None, None]
+                        + rng.integers(-1, 2, (2, low_h, low_w)).astype(np.int16))
+else:
+    flow0 = jnp.asarray(rng.integers(-12, 13, (2, low_h, low_w)).astype(np.int16))
 white = 65280.0 if is_hdr else 255.0
 salt_dtype = jnp.uint16 if is_hdr else jnp.uint8
 fn = warp_band.warp_frame_band if which == "band" else warp_strip.warp_frame_strip

@@ -91,3 +91,81 @@ def test_band_geometry_predicate():
     assert ok(res_scalar=2, is_hdr=False, dim_y=1080, dim_x=1920, apron=576)
     # res_scalar < 2 keeps the strip path.
     assert not ok(res_scalar=1, is_hdr=False, dim_y=480, dim_x=854, apron=576)
+
+
+def _smooth_flow(rng, low_h, low_w, base=(9, -13), wobble=1):
+    """Near-constant flow: per-cell wobble of +-`wobble` around a base — the
+    fast path's target content (blurred flow fields are locally smooth)."""
+    f = np.stack([
+        np.full((low_h, low_w), base[0], np.int16),
+        np.full((low_h, low_w), base[1], np.int16),
+    ])
+    f += rng.integers(-wobble, wobble + 1, f.shape).astype(np.int16)
+    return f
+
+
+@pytest.mark.parametrize("is_hdr", [False, True])
+@pytest.mark.parametrize("rs", [2, 3])
+@pytest.mark.parametrize("mode", [0, 1, 2])
+def test_band_fast_path_matches_strip(rng, is_hdr, rs, mode):
+    """Smooth flow routes (nearly) every subtile through the select-chain fast
+    path; outputs must stay bit-exact vs the strip twin."""
+    h, w, apron = 64, 256, 32
+    low_h, low_w = h >> rs, w >> rs
+    y1, uv1 = make_frame(rng, h, w, is_hdr)
+    y2, uv2 = make_frame(rng, h, w, is_hdr)
+    flow = jnp.asarray(_smooth_flow(rng, low_h, low_w))
+    c1 = warp_strip.build_warp_context(jnp.asarray(y1), jnp.asarray(uv1),
+                                       apron=apron, is_hdr=is_hdr)
+    c2 = warp_strip.build_warp_context(jnp.asarray(y2), jnp.asarray(uv2),
+                                       apron=apron, is_hdr=is_hdr)
+    (ys, uvs), (yb, uvb) = run_both(c1, c2, flow, 0.625, 0.0,
+                                    65280.0 if is_hdr else 255.0,
+                                    rs=rs, mode=mode, is_hdr=is_hdr,
+                                    h=h, w=w, apron=apron)
+    np.testing.assert_array_equal(yb, ys)
+    np.testing.assert_array_equal(uvb, uvs)
+
+
+def test_band_mixed_fast_slow_tiles(rng):
+    """A flow that is smooth except for one violent region: fast and slow
+    subtiles must coexist bit-exactly within one kernel launch."""
+    h, w, apron = 64, 256, 48
+    rs = 3
+    low_h, low_w = h >> rs, w >> rs
+    y1, uv1 = make_frame(rng, h, w, False)
+    y2, uv2 = make_frame(rng, h, w, False)
+    flow = _smooth_flow(rng, low_h, low_w, base=(4, 6), wobble=0)
+    flow[:, :, : low_w // 2] = rng.integers(
+        -(apron - 1), apron, (2, low_h, low_w // 2)).astype(np.int16)
+    c1 = warp_strip.build_warp_context(jnp.asarray(y1), jnp.asarray(uv1),
+                                       apron=apron, is_hdr=False)
+    c2 = warp_strip.build_warp_context(jnp.asarray(y2), jnp.asarray(uv2),
+                                       apron=apron, is_hdr=False)
+    (ys, uvs), (yb, uvb) = run_both(c1, c2, jnp.asarray(flow), 0.25, 0.0,
+                                    255.0, rs=rs, mode=2, is_hdr=False,
+                                    h=h, w=w, apron=apron)
+    np.testing.assert_array_equal(yb, ys)
+    np.testing.assert_array_equal(uvb, uvs)
+
+
+def test_fast_tables_certify_smooth_flow():
+    """The per-subtile ok bit must engage for smooth flow (else the fast path
+    silently never runs) and must clear when residual bounds are exceeded."""
+    n_cr, n_tiles, cpt = 8, 1, 32
+    cps, cb, cell, per32 = 32, 4, 8, 2
+    smooth_r = np.full((n_cr, n_tiles * cpt), 40, np.int32)
+    smooth_p = (np.arange(n_tiles * cpt, dtype=np.int32)[None] * cell
+                + 7 + np.zeros((n_cr, 1), np.int32))
+    fmap, fscal = warp_band._fast_tables(
+        jnp.asarray(smooth_r), jnp.asarray(smooth_p), None, cell=cell,
+        per32=per32, cb=cb, cps=cps, band_rows=64, n_tiles=n_tiles, cpt=cpt,
+        c32_alloc=1024)
+    assert bool((np.asarray(fscal) < 0).all()), "smooth tiles must certify"
+    wild_r = smooth_r.copy()
+    wild_r[0, 0] = 40 + warp_band.RES_V + 8   # row spread past the bound
+    _, fscal2 = warp_band._fast_tables(
+        jnp.asarray(wild_r), jnp.asarray(smooth_p), None, cell=cell,
+        per32=per32, cb=cb, cps=cps, band_rows=64, n_tiles=n_tiles, cpt=cpt,
+        c32_alloc=1024)
+    assert not bool((np.asarray(fscal2) < 0).all())
