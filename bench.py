@@ -33,6 +33,10 @@ Flags:
   --k1/--k2              chain lengths for the slope (default 1 and 3)
   --warp {auto,band,strip}  warp kernel (auto = engine routing: Pallas band on
                          TPU when the geometry qualifies, else XLA strips)
+  --content {pan,noise}  source content: pan = one texture+noise canvas panned
+                         across frames (real-video-like; the pyramid converges
+                         and the dense/uniform tiers engage); noise = frames
+                         share only the texture (adversarial for convergence)
   --flow-content {pan,random}  flow field feeding the warps (pan = converged
                          smooth flow, the band kernel's fast path; random =
                          adversarial per-cell flow, its slow path)
@@ -67,6 +71,7 @@ def main() -> None:
     ap.add_argument("--k1", type=int, default=1)
     ap.add_argument("--k2", type=int, default=3)
     ap.add_argument("--warp", default="auto", choices=("auto", "band", "strip"))
+    ap.add_argument("--content", default="pan", choices=("pan", "noise"))
     ap.add_argument("--flow-content", default="pan", choices=("pan", "random"))
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
@@ -89,7 +94,8 @@ def main() -> None:
     def make_batch(shift):
         ys, uvs = [], []
         for b in range(B):
-            y, uv = nv12.synthetic_frame(rng, h, w, is_hdr=is_hdr, motion_x=shift + b)
+            y, uv = nv12.synthetic_frame(rng, h, w, is_hdr=is_hdr, motion_x=shift + b,
+                                         coherent=args.content == "pan")
             ys.append(y)
             uvs.append(uv)
         return (jax.device_put(jnp.asarray(np.stack(ys))),
@@ -220,7 +226,8 @@ def main() -> None:
             f"[{args.config} x{B}] {w}x{h} {'HDR' if is_hdr else 'SDR'} "
             f"{'strip' if engine.use_strips else 'reference'} path, "
             f"warp={'band' if engine.use_warp_band else 'strip/ref'}, "
-            f"flow-content={args.flow_content} on {jax.devices()[0]} "
+            f"content={args.content} flow-content={args.flow_content} "
+            f"on {jax.devices()[0]} "
             f"(slope k={args.k1}->{args.k2})\n"
             f"  operating point: radius {radius}; flow+ctx {flow_ms:.3f} ms; "
             f"warp+wctx {warp_ms:.3f} ms\n"

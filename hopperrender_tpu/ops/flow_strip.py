@@ -775,7 +775,7 @@ def group_c_t(is_hdr: bool) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("low_h", "low_w", "res_scalar", "is_hdr", "num_iterations",
-                     "num_layers", "apron", "dim_y", "dim_x"),
+                     "num_layers", "apron", "dim_y", "dim_x", "uniform_tier"),
 )
 def pyramid_flow_strip(
     ctx1: dict,
@@ -794,6 +794,7 @@ def pyramid_flow_strip(
     apron: int,
     dim_y: int,
     dim_x: int,
+    uniform_tier: bool = True,
 ):
     """Strip-mined twin of flow.pyramid_flow (identical outputs). frame1 arrives as
     its prebuilt context (built once per source frame by the engine)."""
@@ -816,7 +817,7 @@ def pyramid_flow_strip(
                       iteration=iteration, step=step, is_hdr=is_hdr,
                       num_layers=num_layers, apron=apron,
                       dim_y=dim_y, dim_x=dim_x)
-            if "dec_y" in ctx1:
+            if uniform_tier and "dec_y" in ctx1:
                 # UNIFORM TIER: when the offset plane holds one value
                 # everywhere (iteration 0 by construction; every step once the
                 # pyramid converges on global motion — panning content), each
@@ -833,6 +834,10 @@ def pyramid_flow_strip(
                         neighbor_scalar, **kw),
                     offsets,
                 )
+                # The barrier bounds fusion scope across the cond boundary —
+                # unbounded fusion around the branch bodies faults the TPU
+                # runtime (same class as the per-step barrier below).
+                sums = jax.lax.optimization_barrier(sums)
             else:
                 sums = kernel(
                     ctx1, f2y, f2uv, offsets, radius, delta_scalar,

@@ -59,11 +59,28 @@ def frame_size_samples(height: int, stride: int) -> int:
 
 
 def synthetic_frame(rng: np.random.Generator, height: int, width: int, *,
-                    is_hdr: bool = False, motion_x: int = 0):
+                    is_hdr: bool = False, motion_x: int = 0,
+                    coherent: bool = False):
     """Test/bench helper: textured frame pair generator input (shifted sampling
-    window gives coherent global motion)."""
+    window gives coherent global motion).
+
+    coherent=True shifts the NOISE together with the texture (one fixed-seed
+    noise canvas windowed like the texture, |motion_x| <= 64) — a true pan, as
+    real panning video behaves; the default regenerates noise per call
+    (frames share only the texture — adversarial for flow convergence)."""
     dtype = np.uint16 if is_hdr else np.uint8
     peak = 65535 if is_hdr else 255
+    if coherent:
+        assert abs(motion_x) <= 64
+        canvas = width + 64
+        yy, xx = np.mgrid[0:height, 0:canvas]
+        tex = ((np.sin(xx * 0.17) + np.cos(yy * 0.23)
+                + np.sin((xx + yy) * 0.05)) + 3) / 6
+        noise = np.random.default_rng(0x5EED).random((height, canvas)) * 0.1
+        full_y = ((tex + noise) / 1.1 * peak).astype(dtype)
+        full_uv = ((tex[::2] + noise[::2]) / 1.1 * peak).astype(dtype)
+        x = motion_x % 64
+        return full_y[:, x:x + width].copy(), full_uv[:, x:x + width].copy()
     yy, xx = np.mgrid[0:height, 0:width + abs(motion_x)]
     tex = ((np.sin(xx * 0.17) + np.cos(yy * 0.23) + np.sin((xx + yy) * 0.05)) + 3) / 6
     noise = rng.random((height, width + abs(motion_x))) * 0.1

@@ -37,8 +37,8 @@ def main():
     apron = flow_strip.apron_for(low_h, low_w, bucket)
     rng = np.random.default_rng(0)
     if content == "uniform":
-        y1, uv1 = nv12.synthetic_frame(rng, H, W, is_hdr=is_hdr, motion_x=0)
-        y2, uv2 = nv12.synthetic_frame(rng, H, W, is_hdr=is_hdr, motion_x=3)
+        y1, uv1 = nv12.synthetic_frame(rng, H, W, is_hdr=is_hdr, motion_x=0, coherent=True)
+        y2, uv2 = nv12.synthetic_frame(rng, H, W, is_hdr=is_hdr, motion_x=3, coherent=True)
     else:  # mixed: random content defeats convergence -> gather branches
         hi = 65536 if is_hdr else 256
         dt = np.uint16 if is_hdr else np.uint8
