@@ -414,11 +414,15 @@ class OpticalFlowEngine:
             ctx = self._build_ctx(y1, uv1) if self.use_strips else None
             _, blurred, raw = self._run_pyramid(
                 ctx, y1, uv1, y2, uv2, num_layers=num_layers, apron=apron)
-            extra = jnp.uint32(0)
+            # Barrier: fusing the warp-context build into the pyramid's
+            # compute region faults the TPU runtime (PERF.md fusion hazard).
+            acc = jax.lax.optimization_barrier(
+                raw + blurred[0, 0, 0].astype(jnp.uint32))
             if self.use_warp_strips:
                 w = self._build_wctx(y1, uv1)
-                extra = w["wpad_y"][0, 0].astype(jnp.uint32)
-            return raw + blurred[0, 0, 0].astype(jnp.uint32) + extra
+                acc = acc + jax.lax.optimization_barrier(
+                    w["wpad_y"][0, 0].astype(jnp.uint32))
+            return acc
 
         def warp_unit(y1, uv1, y2, uv2, flow, t, mode=2):
             if self.use_warp_strips:

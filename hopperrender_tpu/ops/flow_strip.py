@@ -619,6 +619,7 @@ def delta_window_sums_uniform(
     apron: int,
     dim_y: int,
     dim_x: int,
+    bias_offsets: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Zero-gather twin of delta_window_sums_strip for UNIFORM offset planes
     (every window holds the same offset — true at iteration 0, where offsets
@@ -626,8 +627,14 @@ def delta_window_sums_uniform(
     global motion, e.g. panning content). Each layer's frame-1 samples are
     then ONE (low_h, low_w) dynamic slice of a phase-decimated plane. Callers
     must guard with the uniformity predicate (pyramid_flow_strip wraps this
-    and the gather kernels in lax.cond)."""
+    and the gather kernels in lax.cond).
+
+    bias_offsets: plane used for the bias/neighbor terms and the window
+    representatives in the tail (defaults to `offsets`); the mode tier samples
+    at the dominant offset but keeps the REAL plane's biases."""
     assert res_scalar >= 1 and "dec_y" in ctx
+    if bias_offsets is None:
+        bias_offsets = offsets
     rs = res_scalar
     L = num_layers
     a, ac = apron, apron // 2
@@ -674,12 +681,294 @@ def delta_window_sums_uniform(
     samp = jnp.stack(samp)
     u_s, v_s = _unpack_pairs(jnp.stack(pairs), False)
 
-    off_x_lw, off_y_lw = _window_offsets(offsets, radius, L, w, step)
-    return _cost_tail(samp, u_s, v_s, f2y, f2uv, offsets, off_x_lw, off_y_lw,
-                      radius, delta_scalar, neighbor_scalar,
+    off_x_lw, off_y_lw = _window_offsets(bias_offsets, radius, L, w, step)
+    return _cost_tail(samp, u_s, v_s, f2y, f2uv, bias_offsets, off_x_lw,
+                      off_y_lw, radius, delta_scalar, neighbor_scalar,
                       window_size=w, res_scalar=rs, iteration=iteration,
                       step=step, is_hdr=is_hdr, num_layers=L, dim_y=dim_y,
                       dim_x=dim_x)
+
+
+def mode_tier_cap(window_size: int, low_h: int, low_w: int) -> int:
+    """Static deviant-window budget for delta_window_sums_mode. The mode
+    kernel's cost is proportional to the CAP (static shapes), not the actual
+    deviant count, so the cap trades coverage against the per-step floor:
+    ~4k strip segments keeps a corrected step ~3 ms vs 15+ ms full strips."""
+    n_win = -(-low_h // window_size) * -(-low_w // window_size)
+    return min(2048, max(1, 4096 // window_size), n_win)
+
+
+def delta_window_sums_mode(
+    ctx: dict,
+    f2y: jnp.ndarray,
+    f2uv: jnp.ndarray,
+    offsets: jnp.ndarray,
+    radius: jnp.ndarray,
+    delta_scalar: jnp.ndarray,
+    neighbor_scalar: jnp.ndarray,
+    *,
+    window_size: int,
+    res_scalar: int,
+    iteration: int,
+    step: int,
+    is_hdr: bool,
+    num_layers: int,
+    apron: int,
+    dim_y: int,
+    dim_x: int,
+) -> jnp.ndarray:
+    """MODE-DOMINANT tier: dense zero-gather sums at the dominant offset
+    (delta_window_sums_uniform — exact for every window holding the dominant
+    value) plus EXACT per-window corrections for the <= K deviant windows,
+    gathered as one small strip batch and scattered over the dense sums.
+
+    On converged content (panning video) the finest pyramid steps hold >95%
+    of windows at one offset; this turns their 15+ ms full strip gathers into
+    ~0.3 ms. Callers guard with n_deviant <= mode_tier_cap (pyramid wraps in
+    lax.cond); the deviant list itself is static-shaped (jnp.nonzero size=K).
+    Bit-exact: non-deviant windows get the dense sums (their offsets equal
+    the dominant), deviant windows are recomputed with the strip kernel's
+    exact arithmetic (biases included) and overwritten."""
+    assert res_scalar >= 1 and "dec_y" in ctx
+    rs = res_scalar
+    L = num_layers
+    w = window_size
+    a, ac = apron, apron // 2
+    low_h, low_w = offsets.shape[1:]
+    n_wy = -(-low_h // w)
+    n_wx = -(-low_w // w)
+    K = mode_tier_cap(w, low_h, low_w)
+
+    win_x = offsets[0, ::w, ::w].astype(jnp.int32)
+    win_y = offsets[1, ::w, ::w].astype(jnp.int32)
+    packed = (win_x << 16) | (win_y & 0xFFFF)
+    dom = _dominant_offset(packed)
+    dom_x = dom >> 16
+    dom_y = (dom << 16) >> 16           # sign-extend low half
+
+    # Dense base at the dominant offset (samples only; biases use the REAL
+    # per-window offsets inside the tail — see delta_window_sums_uniform).
+    dom_plane = jnp.broadcast_to(
+        jnp.stack([dom_x, dom_y]).astype(jnp.int16)[:, None, None],
+        offsets.shape)
+    base_sums = delta_window_sums_uniform(
+        ctx, f2y, f2uv, dom_plane, radius, delta_scalar, neighbor_scalar,
+        window_size=w, res_scalar=rs, iteration=iteration, step=step,
+        is_hdr=is_hdr, num_layers=L, apron=apron, dim_y=dim_y, dim_x=dim_x,
+        bias_offsets=offsets)
+
+    # Deviant list and merge, SCATTER-FREE (TPU scatters cost ~100+ ns per
+    # element — a .at[].set merge of (L, K) values measured ~10 ms/step):
+    #   rank r(i) = cumsum(deviant)[i]; the k-th deviant's flat index is the
+    #   first i with r(i) == k+1 (searchsorted on the monotone cumsum), and
+    #   the dense merge gathers each window's correction row by its rank.
+    dev = (packed != dom).reshape(-1)
+    cs = jnp.cumsum(dev.astype(jnp.int32))
+    flat_idx = jnp.clip(
+        jnp.searchsorted(cs, jnp.arange(1, K + 1, dtype=jnp.int32),
+                         method="sort"),
+        0, n_wy * n_wx - 1)
+    kwy = (flat_idx // n_wx).astype(jnp.int32)
+    kwx = (flat_idx - (flat_idx // n_wx) * n_wx).astype(jnp.int32)
+    kix = win_x[kwy, kwx]
+    kiy = win_y[kwy, kwx]
+
+    corr = _window_list_sums(
+        ctx, f2y, f2uv, offsets, kwy, kwx, kix, kiy, radius, delta_scalar,
+        neighbor_scalar, window_size=w, res_scalar=rs, iteration=iteration,
+        step=step, is_hdr=is_hdr, num_layers=L, apron=apron,
+        dim_y=dim_y, dim_x=dim_x)
+
+    slot_map = jnp.clip(cs - 1, 0, K - 1)            # window -> its rank
+    g = corr.T[slot_map]                             # (n_win, L) block gather
+    g = g.T.reshape(L, n_wy, n_wx)
+    dev_win = dev.reshape(1, n_wy, n_wx)
+    return jnp.where(dev_win, g, base_sums)
+
+
+def _dominant_offset(packed: jnp.ndarray) -> jnp.ndarray:
+    """Approximate modal packed offset: the probe value (from 5 fixed grid
+    positions) matching the most windows. When the field is converged the
+    true mode sits at one of the probes; when it does not, the deviant count
+    against the chosen value simply exceeds the cap and the caller falls back
+    to the gather kernels — correctness never depends on this choice."""
+    h, w = packed.shape
+    probes = jnp.stack([
+        packed[0, 0], packed[h // 2, w // 2], packed[h // 4, w // 4],
+        packed[(3 * h) // 4, (3 * w) // 4], packed[h // 2, w // 4],
+    ])
+    counts = jnp.sum(packed.reshape(1, -1) == probes[:, None], axis=1)
+    return probes[jnp.argmax(counts)]
+
+
+def _window_list_sums(ctx, f2y, f2uv, offsets, kwy, kwx, kix, kiy, radius,
+                      delta_scalar, neighbor_scalar, *, window_size,
+                      res_scalar, iteration, step, is_hdr, num_layers, apron,
+                      dim_y, dim_x):
+    """Exact (L, K) window sums for an explicit window list — the strip
+    kernel's arithmetic restricted to K windows (strip gather per listed
+    window row/column, layer extraction, delta + biases, window sum)."""
+    rs = res_scalar
+    L = num_layers
+    w = window_size
+    a, ac = apron, apron // 2
+    low_h, low_w = offsets.shape[1:]
+    K = kwy.shape[0]
+    min_rel, span = rel_span(L)
+    group_y = 32
+    group_c = 16
+    shift = 8 if is_hdr else 0
+
+    lz = jnp.arange(L, dtype=jnp.int32)
+    rel = flow_ops._signed_square_i16(
+        ((lz % radius) - radius // 2).astype(jnp.int16))
+    rel32 = rel.astype(jnp.int32)
+    j = jnp.arange(w, dtype=jnp.int32)
+
+    # int16-wrap candidate offsets per (L, K) — the active axis gets rel.
+    if step % 2 == 0:
+        off_x_lk = (kix[None, :].astype(jnp.int16)
+                    + rel[:, None]).astype(jnp.int16)
+        off_y_lk = jnp.broadcast_to(kiy.astype(jnp.int16), (L, K))
+    else:
+        off_x_lk = jnp.broadcast_to(kix.astype(jnp.int16), (L, K))
+        off_y_lk = (kiy[None, :].astype(jnp.int16)
+                    + rel[:, None]).astype(jnp.int16)
+
+    if step % 2 == 0:
+        # Row strips: segment = (window, in-window row j).
+        cy = kwy[:, None] * w + j[None, :]               # (K, w)
+        seg_row = (cy << rs) + kiy[:, None] + a
+        base = (kwx[:, None] * (w << rs)) + kix[:, None] + min_rel + a
+        base = jnp.broadcast_to(base, (K, w))
+        nb_y = (span + ((w - 1) << rs) + group_y - 1) // group_y + 1
+        strips = _strip_gather(ctx["pad_y"], seg_row.reshape(-1),
+                               base.reshape(-1), nb_y, group_y)
+        layer_starts = rel32 - min_rel
+        samp = _extract_layers(strips.astype(jnp.int32), layer_starts, w,
+                               1 << rs, L)               # (L, K*w, w)
+        samp = samp.reshape(L, K, w, w)                  # (L, K, row, col)
+
+        c_row = (((cy << rs) + kiy[:, None]) >> 1) + ac
+        c_base = (((kwx[:, None] * (w << rs)) >> 1)
+                  + ((kix[:, None] + min_rel) >> 1) + ac)
+        c_base = jnp.broadcast_to(c_base, (K, w))
+        nb_c = ((span >> 1) + 2 + ((w - 1) << (rs - 1)) + group_c - 1) \
+            // group_c + 1
+        c_strips = _strip_gather(ctx["pad_uv"], c_row.reshape(-1),
+                                 c_base.reshape(-1), nb_c, group_c)
+        even_starts = (rel32 - min_rel) >> 1
+        odd_starts = (rel32 - min_rel + 1) >> 1
+        se = _extract_layers(c_strips, even_starts, w, 1 << (rs - 1), L)
+        so = _extract_layers(c_strips, odd_starts, w, 1 << (rs - 1), L)
+        parity = ((kix + min_rel) & 1)[None, :, None, None]
+        pair = jnp.where(
+            jnp.broadcast_to(parity, (L, K, w, w)) == 0,
+            se.reshape(L, K, w, w), so.reshape(L, K, w, w))
+        u_s, v_s = _unpack_pairs(pair.astype(jnp.uint16), False)
+        cx = kwx[:, None] * w + j[None, :]
+        pix_cy = cy[:, :, None]                          # (K, w, 1) rows
+        pix_cx = cx[:, None, :]                          # (K, 1, w) cols
+    else:
+        # Column strips from transposed planes: segment = (window, col j).
+        cx = kwx[:, None] * w + j[None, :]               # (K, w)
+        seg_col = (cx << rs) + kix[:, None] + a
+        base = (kwy[:, None] * (w << rs)) + kiy[:, None] + min_rel + a
+        base = jnp.broadcast_to(base, (K, w))
+        nb_y = (span + ((w - 1) << rs) + group_y - 1) // group_y + 1
+        strips = _strip_gather(ctx["pad_y_t"], seg_col.reshape(-1),
+                               base.reshape(-1), nb_y, group_y)
+        layer_starts = rel32 - min_rel
+        samp = _extract_layers(strips.astype(jnp.int32), layer_starts, w,
+                               1 << rs, L)               # (L, K*w cols, w rows)
+        samp = samp.reshape(L, K, w, w).transpose(0, 1, 3, 2)  # (L,K,row,col)
+
+        c_col = (((cx << rs) + kix[:, None]) >> 1) + ac
+        c_base = (((kwy[:, None] * (w << rs)) >> 1)
+                  + ((kiy[:, None] + min_rel) >> 1) + ac)
+        c_base = jnp.broadcast_to(c_base, (K, w))
+        nb_c = ((span >> 1) + 2 + ((w - 1) << (rs - 1)) + group_c_t(is_hdr)
+                - 1) // group_c_t(is_hdr) + 1
+        even_starts = (rel32 - min_rel) >> 1
+        odd_starts = (rel32 - min_rel + 1) >> 1
+        parity = ((kiy + min_rel) & 1)[None, :, None, None]
+
+        def chroma_from(plane):
+            st = _strip_gather(plane, c_col.reshape(-1), c_base.reshape(-1),
+                               nb_c, group_c_t(is_hdr))
+            se = _extract_layers(st.astype(jnp.int32), even_starts, w,
+                                 1 << (rs - 1), L)
+            so = _extract_layers(st.astype(jnp.int32), odd_starts, w,
+                                 1 << (rs - 1), L)
+            s = jnp.where(jnp.broadcast_to(parity, (L, K, w, w)) == 0,
+                          se.reshape(L, K, w, w), so.reshape(L, K, w, w))
+            return s.transpose(0, 1, 3, 2)               # (L, K, row, col)
+
+        u_s = chroma_from(ctx["pad_u_t"])
+        v_s = chroma_from(ctx["pad_v_t"])
+        cy = kwy[:, None] * w + j[None, :]
+        pix_cy = cy[:, :, None]
+        pix_cx = cx[:, None, :]
+
+    # Frame-2 samples at the window pixels: build the decimated planes DENSELY
+    # once (strided views, the dense tail's formulas), group into windows, and
+    # block-gather one (w*w)-element record per listed window — point gathers
+    # per pixel would cost ~10x (TPU gathers are per-descriptor).
+    scaled_cy = jnp.broadcast_to(pix_cy << rs, (K, w, w))
+    scaled_cx = jnp.broadcast_to(pix_cx << rs, (K, w, w))
+    in_frame = (scaled_cx < dim_x) & (scaled_cy < dim_y)
+    in_grid = (jnp.broadcast_to(pix_cx, (K, w, w)) < low_w) & (
+        jnp.broadcast_to(pix_cy, (K, w, w)) < low_h)
+    uv_h = dim_y // 2
+    f2y_i = f2y.astype(jnp.int32) >> shift
+    f2uv_i = f2uv.astype(jnp.int32) >> shift
+    lh_pad, lw_pad = -(-low_h // w) * w, -(-low_w // w) * w
+    flat_idx = kwy * (lw_pad // w) + kwx
+    cyd = jnp.clip(jnp.arange(lh_pad) << rs, 0, dim_y - 1)
+    cxd = jnp.clip(jnp.arange(lw_pad) << rs, 0, dim_x - 1)
+    f2d_y = f2y_i[cyd][:, cxd]
+    f2d_u = f2uv_i[jnp.clip(cyd >> 1, 0, uv_h - 1)][:,
+                                                    jnp.clip(cxd & ~1, 0,
+                                                             f2uv.shape[1] - 1)]
+    f2d_v = f2uv_i[jnp.clip(cyd >> 1, 0, uv_h - 1)][
+        :, jnp.clip((cxd & ~1) + 1, 0, f2uv.shape[1] - 1)]
+
+    def win_gather(plane_d):
+        blocks = (plane_d.reshape(lh_pad // w, w, lw_pad // w, w)
+                  .transpose(0, 2, 1, 3).reshape(-1, w * w))
+        return blocks[flat_idx].reshape(K, w, w)
+
+    f2_y = win_gather(f2d_y)[None]
+    f2_u = win_gather(f2d_u)[None]
+    f2_v = win_gather(f2d_v)[None]
+
+    delta = (jnp.abs(samp - f2_y) + jnp.abs(u_s - f2_u)
+             + jnp.abs(v_s - f2_v)).astype(jnp.uint32)
+    delta = delta << delta_scalar.astype(jnp.uint32)
+    delta = jnp.where(in_frame[None], delta, jnp.uint32(0))
+
+    active = off_x_lk if step % 2 == 0 else off_y_lk      # (L, K)
+    offset_bias = jnp.abs(active.astype(jnp.int32)).astype(jnp.uint32)
+    total = delta + offset_bias[:, :, None, None]
+
+    if iteration >= config.FIRST_NEIGHBOR_ITERATION:
+        plane = offsets[0 if step % 2 == 0 else 1]
+        nb = jnp.zeros((L, K, w, w), jnp.uint32)
+        act32 = active.astype(jnp.int32)
+        rr = jnp.arange(lh_pad, dtype=jnp.int32)
+        cc = jnp.arange(lw_pad, dtype=jnp.int32)
+        for dx, dy in ((0, 2 * w), (2 * w, 0), (-2 * w, 0), (0, -2 * w)):
+            # Dense shifted/clipped neighbor plane, then one block per window.
+            nof_d = plane[jnp.clip(rr + dy, 0, low_h - 1)][
+                :, jnp.clip(cc + dx, 0, low_w - 1)]
+            n_off = win_gather(nof_d.astype(jnp.int32))[None]
+            nb = nb + jnp.abs(n_off - act32[:, :, None, None]).astype(
+                jnp.uint32)
+        total = total + (nb << neighbor_scalar.astype(jnp.uint32))
+
+    total = jnp.where(in_grid[None], total, jnp.uint32(0))
+    sums = total.sum(axis=(2, 3), dtype=jnp.uint32)       # (L, K)
+    return jnp.where(lz[:, None] < radius, sums, UINT32_MAX)
 
 
 def _cost_tail(samp, u_s, v_s, f2y, f2uv, offsets, off_x_lw, off_y_lw,
@@ -818,20 +1107,36 @@ def pyramid_flow_strip(
                       num_layers=num_layers, apron=apron,
                       dim_y=dim_y, dim_x=dim_x)
             if uniform_tier and "dec_y" in ctx1:
-                # UNIFORM TIER: when the offset plane holds one value
-                # everywhere (iteration 0 by construction; every step once the
-                # pyramid converges on global motion — panning content), each
-                # layer's samples are one dynamic slice: zero gathers. Decided
-                # on device per step (lax.cond); both branches are bit-exact.
-                uni = jnp.all(offsets == offsets[:, :1, :1])
+                # MODE-DOMINANT TIER: when all but <= K windows hold one
+                # offset (iteration 0 by construction; converged motion on
+                # real content afterwards), sample densely at the dominant
+                # offset (zero gathers) and correct the deviant windows with
+                # one small strip batch. Decided on device per step
+                # (lax.cond); both branches are bit-exact.
+                win_pk = ((offsets[0, ::window, ::window].astype(jnp.int32)
+                           << 16)
+                          | (offsets[1, ::window, ::window].astype(jnp.int32)
+                             & 0xFFFF))
+                n_dev = jnp.sum((win_pk != _dominant_offset(win_pk))
+                                .astype(jnp.int32))
+                # Three-way: fully uniform (0 deviants, ~0.1 ms) / dominant
+                # with few deviants (mode kernel, cost ~ the static cap) /
+                # full gather. The mode kernel's correction machinery costs
+                # its cap even at n_dev == 1, so uniform steps must not pay it.
                 sums = jax.lax.cond(
-                    uni,
+                    n_dev == 0,
                     lambda o: delta_window_sums_uniform(
                         ctx1, f2y, f2uv, o, radius, delta_scalar,
                         neighbor_scalar, **kw),
-                    lambda o: kernel(
-                        ctx1, f2y, f2uv, o, radius, delta_scalar,
-                        neighbor_scalar, **kw),
+                    lambda o: jax.lax.cond(
+                        n_dev <= mode_tier_cap(window, low_h, low_w),
+                        lambda oo: delta_window_sums_mode(
+                            ctx1, f2y, f2uv, oo, radius, delta_scalar,
+                            neighbor_scalar, **kw),
+                        lambda oo: kernel(
+                            ctx1, f2y, f2uv, oo, radius, delta_scalar,
+                            neighbor_scalar, **kw),
+                        o),
                     offsets,
                 )
                 # The barrier bounds fusion scope across the cond boundary —

@@ -40,13 +40,22 @@ print(f"device {jax.devices()[0]} variant={variant} w={window} r{radius} "
 
 kern = dict(uniform=flow_strip.delta_window_sums_uniform,
             strip=flow_strip.delta_window_sums_strip,
-            patch=flow_strip.delta_window_sums_patch)
+            patch=flow_strip.delta_window_sums_patch,
+            mode=flow_strip.delta_window_sums_mode)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def chain(salt, *, k: int):
     acc = jnp.uint32(salt)
-    off = jnp.full((2, low_h, low_w), 3, jnp.int16)
+    off0 = np.full((2, low_h, low_w), 3, np.int16)
+    if variant == "mode":
+        # ~4% deviant windows (the converged-pan regime at fine steps).
+        r2 = np.random.default_rng(7)
+        n_wy, n_wx = -(-low_h // window), -(-low_w // window)
+        m = r2.random((n_wy, n_wx)) < 0.04
+        dev = np.repeat(np.repeat(m, window, 0), window, 1)[:low_h, :low_w]
+        off0[0][dev] = -5
+    off = jnp.asarray(off0)
     for i in range(k):
         off = off + (acc % 2).astype(jnp.int16)
         if variant == "tail":

@@ -211,3 +211,75 @@ def test_patch_fits_rejects_unpadded_overhang(rng):
         res_scalar=rs)
     assert not flow_strip.patch_fits(ctx, low_h=low_h, low_w=low_w, window=32,
                                      res_scalar=rs, apron=apron)
+
+
+@pytest.mark.parametrize("is_hdr", [False, True])
+@pytest.mark.parametrize("step", [0, 1])
+@pytest.mark.parametrize("iteration", [0, 5])
+def test_mode_tier_matches_reference(rng, is_hdr, step, iteration):
+    """Mode-dominant tier (dense base + deviant-window corrections) vs the
+    reference kernel — exact, including neighbor-bias iterations, edge
+    windows, and odd parities."""
+    h, w = 80, 144
+    rs, low_h, low_w = 2, 20, 36
+    window = 2
+    bucket = 8
+    apron = flow_strip.apron_for(low_h, low_w, bucket)
+    f1y, f1uv = make_frame(rng, h, w, is_hdr)
+    f2y, f2uv = make_frame(rng, h, w, is_hdr)
+    # Dominant offset + a scattering of deviants (incl. odd values and a
+    # frame-corner window).
+    offsets = np.zeros((2, low_h, low_w), np.int16)
+    offsets[0] = 7
+    offsets[1] = -6
+    n_wy, n_wx = low_h // window, low_w // window
+    dev = [(0, 0), (3, 5), (9, 17), (n_wy - 1, n_wx - 1), (4, 4)]
+    vals = [(-15, 9), (8, -5), (-1, 2), (13, 13), (0, 0)]
+    for (wy, wx), (vx, vy) in zip(dev, vals):
+        offsets[0, wy * window:(wy + 1) * window,
+                wx * window:(wx + 1) * window] = vx
+        offsets[1, wy * window:(wy + 1) * window,
+                wx * window:(wx + 1) * window] = vy
+    ctx = flow_strip.build_frame_context(
+        jnp.asarray(f1y), jnp.asarray(f1uv), apron=apron, is_hdr=is_hdr,
+        res_scalar=rs, low_dims=(low_h, low_w))
+    got = flow_strip.delta_window_sums_mode(
+        ctx, jnp.asarray(f2y), jnp.asarray(f2uv), jnp.asarray(offsets),
+        jnp.int32(7), jnp.int32(8), jnp.int32(6),
+        window_size=window, res_scalar=rs, iteration=iteration, step=step,
+        is_hdr=is_hdr, num_layers=bucket, apron=apron, dim_y=h, dim_x=w)
+    want = flow_ops.delta_window_sums(
+        jnp.asarray(f1y), jnp.asarray(f1uv), jnp.asarray(f2y),
+        jnp.asarray(f2uv), jnp.asarray(offsets), jnp.int32(7), jnp.int32(8),
+        jnp.int32(6), window_size=window, res_scalar=rs, iteration=iteration,
+        step=step, is_hdr=is_hdr, num_layers=bucket)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_mode_tier_wider_windows(rng):
+    """Mode tier at a coarser window with overhanging grid (lw_pad > low_w)."""
+    h, w = 80, 144
+    rs, low_h, low_w = 2, 20, 36
+    window = 8                       # n_wx = 5 -> lw_pad 40 > 36
+    apron = flow_strip.apron_for(low_h, low_w, 8)
+    f1y, f1uv = make_frame(rng, h, w)
+    f2y, f2uv = make_frame(rng, h, w)
+    offsets = np.full((2, low_h, low_w), 3, np.int16)
+    # Deviant window at the overhanging right edge (whole window: offsets are
+    # window-constant by pyramid invariant).
+    offsets[:, :window, 4 * window:] = -9
+    ctx = flow_strip.build_frame_context(
+        jnp.asarray(f1y), jnp.asarray(f1uv), apron=apron, is_hdr=False,
+        res_scalar=rs, low_dims=(low_h, low_w))
+    for step in (0, 1):
+        got = flow_strip.delta_window_sums_mode(
+            ctx, jnp.asarray(f2y), jnp.asarray(f2uv), jnp.asarray(offsets),
+            jnp.int32(8), jnp.int32(8), jnp.int32(6),
+            window_size=window, res_scalar=rs, iteration=4, step=step,
+            is_hdr=False, num_layers=8, apron=apron, dim_y=h, dim_x=w)
+        want = flow_ops.delta_window_sums(
+            jnp.asarray(f1y), jnp.asarray(f1uv), jnp.asarray(f2y),
+            jnp.asarray(f2uv), jnp.asarray(offsets), jnp.int32(8),
+            jnp.int32(8), jnp.int32(6), window_size=window, res_scalar=rs,
+            iteration=4, step=step, is_hdr=False, num_layers=8)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
