@@ -80,6 +80,9 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from hopperrender_tpu.utils import compile_cache
+    compile_cache.enable()
+
     from hopperrender_tpu import config as hcfg
     from hopperrender_tpu.engine.flow_engine import OpticalFlowEngine
     from hopperrender_tpu.vio import nv12

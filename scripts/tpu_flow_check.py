@@ -13,6 +13,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from hopperrender_tpu.utils import compile_cache
+compile_cache.enable()
 from hopperrender_tpu import config as hcfg
 from hopperrender_tpu.ops import flow_strip
 from hopperrender_tpu.vio import nv12

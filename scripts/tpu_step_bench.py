@@ -13,6 +13,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from hopperrender_tpu.utils import compile_cache
+compile_cache.enable()
 from hopperrender_tpu import config as hcfg
 from hopperrender_tpu.ops import flow_strip
 from hopperrender_tpu.vio import nv12
@@ -58,6 +60,52 @@ def chain(salt, *, k: int):
     off = jnp.asarray(off0)
     for i in range(k):
         off = off + (acc % 2).astype(jnp.int16)
+        if variant == "ctx":
+            # Per-frame flow-context build cost (mirror pads, transposes,
+            # phase-decimated planes incl. low_dims padding).
+            y1s = jnp.asarray(y1) + (acc % 2).astype(jnp.uint16)
+            c = flow_strip.build_frame_context(
+                y1s, jnp.asarray(uv1), apron=apron, is_hdr=True,
+                res_scalar=rs, low_dims=(low_h, low_w))
+            acc = acc + c["pad_y"][0, 0].astype(jnp.uint32) \
+                + c["pad_y_t"][0, 0].astype(jnp.uint32) \
+                + c["dec_y"][0, 0].astype(jnp.uint32) \
+                + c["pad_uv"][0, 0].astype(jnp.uint32) \
+                + c["pad_u_t"][0, 0].astype(jnp.uint32) \
+                + c["dec_uv"][0, 0].astype(jnp.uint32)
+            acc = jax.lax.optimization_barrier(acc)
+            continue
+        if variant == "cond2":
+            # lax.cond overhead with the full ctx captured (measures TPU
+            # conditional operand copies): same uniform kernel both branches.
+            def br(o):
+                return flow_strip.delta_window_sums_uniform(
+                    ctx, f2y, f2uv, o, jnp.int32(radius), jnp.int32(8),
+                    jnp.int32(6), **kw)
+
+            def br2(o):
+                return flow_strip.delta_window_sums_uniform(
+                    ctx, f2y, f2uv, o, jnp.int32(radius), jnp.int32(8),
+                    jnp.int32(7), **kw)
+
+            sums = jax.lax.cond((acc % 2) == 0, br, br2, off)
+            sums = jax.lax.optimization_barrier(sums)
+            acc = jax.lax.optimization_barrier(acc + sums[0, 0, 0])
+            continue
+        if variant == "cond3":
+            # lax.cond with a TINY capture (offsets only): isolates the cond
+            # construct's fixed cost from operand-copy volume.
+            def brs(o):
+                return (o[0, 0, 0].astype(jnp.uint32)
+                        + jnp.uint32(o.sum().astype(jnp.int32) & 0xFF))
+
+            def brs2(o):
+                return (o[1, 0, 0].astype(jnp.uint32)
+                        + jnp.uint32(o.sum().astype(jnp.int32) & 0x7F))
+
+            v = jax.lax.cond((acc % 2) == 0, brs, brs2, off)
+            acc = jax.lax.optimization_barrier(acc + v)
+            continue
         if variant == "tail":
             # Tail cost alone: synthetic samples (no gathers), same cost math.
             samp = jnp.broadcast_to(

@@ -2,6 +2,8 @@
 import functools, sys, time
 import numpy as np
 import jax, jax.numpy as jnp
+from hopperrender_tpu.utils import compile_cache
+compile_cache.enable()
 from hopperrender_tpu import config as hcfg
 from hopperrender_tpu.ops import flow_strip, warp_band, warp_strip
 from hopperrender_tpu.vio import nv12
