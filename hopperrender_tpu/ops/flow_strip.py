@@ -689,6 +689,56 @@ def delta_window_sums_uniform(
                       dim_x=dim_x)
 
 
+def _flatten_ctx(ctx: dict):
+    """Pack the context planes into ONE u32 buffer for lax.cond boundaries.
+
+    TPU conditionals copy their captured operands per invocation, and copies
+    of 8/16-bit planes run far below HBM speed (chip-probed: a cond capturing
+    the ~80 MB context dict costs ~4.4 ms vs 0.74 ms with a tiny capture).
+    One u32-typed operand copies at native layout speed; branches unpack
+    views lazily (materialized only when that branch actually runs)."""
+    metas = []
+    parts = []
+    off = 0
+    for k in sorted(ctx):
+        a = ctx[k]
+        eb = a.dtype.itemsize
+        per32 = 4 // eb
+        w32 = -(-a.shape[-1] // per32)
+        pad = w32 * per32 - a.shape[-1]
+        ap = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)]) if pad else a
+        if per32 == 1:
+            flat = jax.lax.bitcast_convert_type(ap, jnp.uint32).reshape(-1)
+        else:
+            flat = jax.lax.bitcast_convert_type(
+                ap.reshape(ap.shape[:-1] + (w32, per32)),
+                jnp.uint32).reshape(-1)
+        metas.append((k, a.dtype, a.shape, w32, off, flat.shape[0]))
+        parts.append(flat)
+        off += flat.shape[0]
+    return jnp.concatenate(parts), tuple(metas)
+
+
+def _unflatten_ctx(flat: jnp.ndarray, metas) -> dict:
+    """Rebuild the context dict (views into the flat buffer) inside a branch."""
+    ctx = {}
+    for k, dtype, shape, w32, off, n in metas:
+        per32 = 4 // jnp.dtype(dtype).itemsize
+        sl = jax.lax.dynamic_slice(flat, (off,), (n,))
+        if per32 == 1:
+            a = jax.lax.bitcast_convert_type(
+                sl.reshape(shape[:-1] + (w32,)), dtype)
+        else:
+            # u32 -> N narrow elements: the bitcast appends the per32 dim.
+            a = jax.lax.bitcast_convert_type(
+                sl.reshape(shape[:-1] + (w32,)), dtype)
+            a = a.reshape(shape[:-1] + (w32 * per32,))
+        if w32 * per32 != shape[-1]:
+            a = jax.lax.slice_in_dim(a, 0, shape[-1], axis=a.ndim - 1)
+        ctx[k] = a
+    return ctx
+
+
 def mode_tier_cap(window_size: int, low_h: int, low_w: int) -> int:
     """Static deviant-window budget for delta_window_sums_mode. The mode
     kernel's cost is proportional to the CAP (static shapes), not the actual
@@ -1089,6 +1139,13 @@ def pyramid_flow_strip(
     its prebuilt context (built once per source frame by the engine)."""
     offsets = jnp.zeros((2, low_h, low_w), dtype=jnp.int16)
     total_delta_raw = jnp.uint32(0)
+    if uniform_tier and "dec_y" in ctx1:
+        # One u32 operand through every per-step cond (see _flatten_ctx);
+        # the frame-2 planes ride along (they would be copied per cond too).
+        ctx_flat, ctx_meta = _flatten_ctx(
+            {**ctx1, "__f2y": f2y, "__f2uv": f2uv})
+    else:
+        ctx_flat = ctx_meta = None
 
     for iteration, window in flow_ops.window_schedule(low_h, low_w, num_iterations):
         for step in (0, 1):
@@ -1123,21 +1180,36 @@ def pyramid_flow_strip(
                 # with few deviants (mode kernel, cost ~ the static cap) /
                 # full gather. The mode kernel's correction machinery costs
                 # its cap even at n_dev == 1, so uniform steps must not pay it.
+                meta = ctx_meta
+
+                def unpack(cf):
+                    d = _unflatten_ctx(cf, meta)
+                    return d, d.pop("__f2y"), d.pop("__f2uv")
+
+                def t_uniform(cf, o):
+                    d, fy, fuv = unpack(cf)
+                    return delta_window_sums_uniform(
+                        d, fy, fuv, o, radius,
+                        delta_scalar, neighbor_scalar, **kw)
+
+                def t_mode(cf, o):
+                    d, fy, fuv = unpack(cf)
+                    return delta_window_sums_mode(
+                        d, fy, fuv, o, radius,
+                        delta_scalar, neighbor_scalar, **kw)
+
+                def t_gather(cf, o):
+                    d, fy, fuv = unpack(cf)
+                    return kernel(
+                        d, fy, fuv, o, radius,
+                        delta_scalar, neighbor_scalar, **kw)
+
                 sums = jax.lax.cond(
-                    n_dev == 0,
-                    lambda o: delta_window_sums_uniform(
-                        ctx1, f2y, f2uv, o, radius, delta_scalar,
-                        neighbor_scalar, **kw),
-                    lambda o: jax.lax.cond(
+                    n_dev == 0, t_uniform,
+                    lambda cf, o: jax.lax.cond(
                         n_dev <= mode_tier_cap(window, low_h, low_w),
-                        lambda oo: delta_window_sums_mode(
-                            ctx1, f2y, f2uv, oo, radius, delta_scalar,
-                            neighbor_scalar, **kw),
-                        lambda oo: kernel(
-                            ctx1, f2y, f2uv, oo, radius, delta_scalar,
-                            neighbor_scalar, **kw),
-                        o),
-                    offsets,
+                        t_mode, t_gather, cf, o),
+                    ctx_flat, offsets,
                 )
                 # The barrier bounds fusion scope across the cond boundary —
                 # unbounded fusion around the branch bodies faults the TPU

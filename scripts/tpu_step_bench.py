@@ -106,6 +106,22 @@ def chain(salt, *, k: int):
             v = jax.lax.cond((acc % 2) == 0, brs, brs2, off)
             acc = jax.lax.optimization_barrier(acc + v)
             continue
+        if variant == "cond4":
+            # Heavy capture on the NON-executed branch only: distinguishes
+            # executed-branch operand copies from all-branches copies.
+            def cheap(o):
+                return o[0, 0, 0].astype(jnp.uint32)
+
+            def heavy(o):
+                return flow_strip.delta_window_sums_uniform(
+                    ctx, f2y, f2uv, o, jnp.int32(radius), jnp.int32(8),
+                    jnp.int32(6), **kw)[0, 0, 0]
+
+            # Runtime-true predicate (acc stays small) the compiler can't fold.
+            v = jax.lax.cond((acc & jnp.uint32(1 << 31)) == 0, cheap, heavy,
+                             off)
+            acc = jax.lax.optimization_barrier(acc + v)
+            continue
         if variant == "tail":
             # Tail cost alone: synthetic samples (no gathers), same cost math.
             samp = jnp.broadcast_to(
