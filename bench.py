@@ -148,6 +148,16 @@ def main() -> None:
         """(flow_ms, warp_ms, per_source_ms) at one radius via the engine's
         own compute units."""
         engine.search_radius = radius
+        if engine.use_strips and engine.tier_mode == "planned":
+            # Host-side tier planning (no per-step cond tax): settle the
+            # bucket's plan on the bench content — run/validate/predict to a
+            # fixed point, exactly what the streaming engine converges to
+            # after 1-2 frames of this content.
+            plan = engine.settle_plan(f1y[0], f1uv[0], f2y[0], f2uv[0])
+            if not args.json_only:
+                print(f"  radius {radius} settled tier plan: "
+                      f"{''.join(t if len(t) == 1 else t.lower() for t in plan)}",
+                      file=sys.stderr)
         flow_unit, warp_unit = engine.bench_units()
         # Re-apply the kernel override (bench_units re-derives band routing
         # when the apron changes with the radius bucket).

@@ -195,6 +195,15 @@ class OpticalFlowEngine:
                 dim_y=self.h, dim_x=self.w, apron=self._apron)
         )
         self._band_interpret = False  # test hook
+        # Flow tier dispatch: "planned" = host-side per-frame tier plan baked
+        # statically into the executable (no per-step lax.cond tax — see
+        # flow_strip.pyramid_flow_strip_planned), validated on device and
+        # repaired+rerun on mispredict; "cond" = on-device per-step lax.cond
+        # tiers; "gather" = exact gather kernels only.
+        self.tier_mode = "planned" if self.use_strips else "gather"
+        self._plans: dict = {}          # (bucket, num_iterations) -> plan
+        self.plan_mispredicts = 0
+        self.plan_reruns = 0
 
     # The underlying ops are module-level jits with static argnames, so engines with
     # the same (resolution, hdr) share one compilation — no per-instance traces.
@@ -236,11 +245,19 @@ class OpticalFlowEngine:
                     dim_y=self.h, dim_x=self.w, apron=apron))
         return rebuilt
 
-    def update_frame(self, y: np.ndarray, uv: np.ndarray) -> None:
-        """Ingest frame N and rotate the ring (ref: opticalFlowCalcSDR.cpp:19-29)."""
+    def update_frame(self, y, uv) -> None:
+        """Ingest frame N and rotate the ring (ref: opticalFlowCalcSDR.cpp:19-29).
+        Accepts host ndarrays (one host->HBM transfer each) or already
+        device-resident jax arrays (zero-copy — the device-resident IO path)."""
         dtype = np.uint16 if self.is_hdr else np.uint8
-        y_dev = jax.device_put(np.ascontiguousarray(y, dtype=dtype), self._device)
-        uv_dev = jax.device_put(np.ascontiguousarray(uv, dtype=dtype), self._device)
+        if isinstance(y, jax.Array):
+            y_dev = jax.device_put(y, self._device)
+            uv_dev = jax.device_put(uv, self._device)
+        else:
+            y_dev = jax.device_put(np.ascontiguousarray(y, dtype=dtype),
+                                   self._device)
+            uv_dev = jax.device_put(np.ascontiguousarray(uv, dtype=dtype),
+                                    self._device)
         self._frames_y = [self._frames_y[1], self._frames_y[2], y_dev]
         self._frames_uv = [self._frames_uv[1], self._frames_uv[2], uv_dev]
         rebuilt = self._refresh_geometry()
@@ -264,26 +281,111 @@ class OpticalFlowEngine:
         self._ofc_start = time.perf_counter()
 
     def _run_pyramid(self, ctx1, f1y, f1uv, f2y, f2uv, *, num_layers, apron,
-                     radius=None):
+                     radius=None, plan=None):
         """The engine's flow computation for one pair — the SINGLE definition
         used by both streaming (calculate_optical_flow) and bench_units(), so
-        benchmarks measure exactly the served chain."""
+        benchmarks measure exactly the served chain. Returns (offsets,
+        blurred, delta_raw, sig) — sig is the planned path's validity vector
+        (None on the cond/gather paths)."""
         scalars = (jnp.int32(self.search_radius if radius is None else radius),
                    jnp.int32(self.delta_scalar),
                    jnp.int32(self.neighbor_scalar))
+        kw = dict(low_h=self.low_h, low_w=self.low_w,
+                  res_scalar=self.res_scalar, is_hdr=self.is_hdr,
+                  num_layers=num_layers, apron=apron,
+                  dim_y=self.h, dim_x=self.w,
+                  num_iterations=self.num_iterations)
         if self.use_strips and ctx1 is not None:
-            return flow_strip.pyramid_flow_strip(
+            if plan is not None:
+                return flow_strip.pyramid_flow_strip_planned(
+                    ctx1, f2y, f2uv, *scalars, plan=plan, **kw)
+            off, blurred, raw = flow_strip.pyramid_flow_strip(
                 ctx1, f2y, f2uv, *scalars,
-                low_h=self.low_h, low_w=self.low_w, res_scalar=self.res_scalar,
-                is_hdr=self.is_hdr, num_layers=num_layers, apron=apron,
-                dim_y=self.h, dim_x=self.w, num_iterations=self.num_iterations,
-            )
-        return flow_ops.pyramid_flow(
+                uniform_tier=self.tier_mode != "gather", **kw)
+            return off, blurred, raw, None
+        off, blurred, raw = flow_ops.pyramid_flow(
             f1y, f1uv, f2y, f2uv, *scalars,
             low_h=self.low_h, low_w=self.low_w, res_scalar=self.res_scalar,
             is_hdr=self.is_hdr, num_layers=num_layers,
             num_iterations=self.num_iterations,
         )
+        return off, blurred, raw, None
+
+    # -- planned tier dispatch (host-side, see flow_strip block comment) -----
+
+    def _plan_key(self):
+        return (self._bucket, self.num_iterations)
+
+    def _current_plan(self, ctx) -> tuple:
+        """The plan to run for this frame pair: the bucket's predicted plan,
+        or the conservative default; all-G when the context cannot support
+        the dense tiers (no/short decimated planes)."""
+        n = len(flow_strip.plan_steps(self.low_h, self.low_w,
+                                      self.num_iterations))
+        if ctx is None or not flow_strip.uniform_fits(
+                ctx, low_h=self.low_h, low_w=self.low_w,
+                res_scalar=self.res_scalar, apron=self._apron):
+            return ("G",) * n
+        return self._plans.get(self._plan_key()) or flow_strip.default_plan(
+            self.low_h, self.low_w, self.num_iterations)
+
+    def _run_pyramid_planned(self, ctx1, f1y, f1uv, f2y, f2uv, *,
+                             num_layers, apron):
+        """Run the planned pyramid, validate the plan against the device's
+        per-step deviant counts, repair+rerun on mispredict (at most once —
+        the repaired plan is exact-by-construction), and store the next
+        frame's prediction. The sig fetch is the honest-timing sync point.
+        TPU-native analogue of the reference's host-driven per-frame
+        adaptivity (ref: HopperRender.cpp:1438-1463)."""
+        plan = self._current_plan(ctx1)
+        out = self._run_pyramid(ctx1, f1y, f1uv, f2y, f2uv,
+                                num_layers=num_layers, apron=apron, plan=plan)
+        ndev = np.asarray(out[3])[:-1]   # forces completion (honest timing)
+        bad = flow_strip.first_invalid_step(
+            plan, ndev, self.low_h, self.low_w, self.num_iterations)
+        if bad is not None:
+            self.plan_mispredicts += 1
+            self.plan_reruns += 1
+            plan = flow_strip.repair_plan(plan, bad)
+            out = self._run_pyramid(ctx1, f1y, f1uv, f2y, f2uv,
+                                    num_layers=num_layers, apron=apron,
+                                    plan=plan)
+            ndev = np.asarray(out[3])[:-1]
+        if flow_strip.uniform_fits(ctx1, low_h=self.low_h, low_w=self.low_w,
+                                   res_scalar=self.res_scalar,
+                                   apron=self._apron):
+            self._plans[self._plan_key()] = flow_strip.predict_plan(
+                ndev, self.low_h, self.low_w, self.num_iterations)
+        return out
+
+    def settle_plan(self, y1, uv1, y2, uv2, *, max_rounds: int = 4) -> tuple:
+        """Bench/test helper: iterate run -> validate -> predict on ONE frame
+        pair until the prediction is a fixed point (valid plans yield
+        bit-identical offsets, so one valid run's counts decide the stable
+        plan — convergence takes <= 3 runs). Leaves the settled plan in the
+        engine's plan cache and returns it."""
+        if not self.use_strips:
+            return ()
+        self._refresh_geometry()
+        ctx = self._build_ctx(y1, uv1)
+        plan = self._current_plan(ctx)
+        for _ in range(max_rounds):
+            out = self._run_pyramid(ctx, y1, uv1, y2, uv2,
+                                    num_layers=self._bucket,
+                                    apron=self._apron, plan=plan)
+            ndev = np.asarray(out[3])[:-1]
+            bad = flow_strip.first_invalid_step(
+                plan, ndev, self.low_h, self.low_w, self.num_iterations)
+            if bad is not None:
+                plan = flow_strip.repair_plan(plan, bad)
+                continue
+            nxt = flow_strip.predict_plan(ndev, self.low_h, self.low_w,
+                                          self.num_iterations)
+            self._plans[self._plan_key()] = nxt
+            if nxt == plan:
+                return plan
+            plan = nxt
+        return plan
 
     def calculate_optical_flow(self) -> None:
         """Compute flow for the newest pair (slots 1,2); swap the flow double buffer
@@ -295,7 +397,20 @@ class OpticalFlowEngine:
         # per visited bucket.
         num_layers = self._bucket
         self._flow_buckets = [self._flow_buckets[1], num_layers]
-        _, blurred, delta_raw = self._run_pyramid(
+        if self.use_strips and self.tier_mode == "planned" \
+                and self._ctxs[1] is not None:
+            # Planned dispatch: the sig fetch inside doubles as the honest
+            # completion sync (sig[-1] depends on the blurred flow), so the
+            # recorded time covers any mispredict rerun too.
+            _, blurred, delta_raw, _ = self._run_pyramid_planned(
+                self._ctxs[1], self._frames_y[1], self._frames_uv[1],
+                self._frames_y[2], self._frames_uv[2],
+                num_layers=num_layers, apron=self._apron)
+            self._blurred = [self._blurred[1], blurred]
+            self._pending_delta_raw = delta_raw
+            self.ofc_time.record(time.perf_counter() - self._ofc_start)
+            return
+        _, blurred, delta_raw, _ = self._run_pyramid(
             self._ctxs[1], self._frames_y[1], self._frames_uv[1],
             self._frames_y[2], self._frames_uv[2],
             num_layers=num_layers, apron=self._apron)
@@ -409,15 +524,31 @@ class OpticalFlowEngine:
         self._refresh_geometry()
         num_layers = self._bucket
         apron = self._apron
+        # Planned tier dispatch: bench with the bucket's SETTLED plan (call
+        # settle_plan on the bench content first); fall back to the
+        # conservative default plan when none was settled. The plan's
+        # validity counters are part of the measured executable — the
+        # benched chain is exactly the served chain.
+        plan = None
+        if self.use_strips and self.tier_mode == "planned":
+            plan = self._plans.get(self._plan_key())
 
         def flow_unit(y1, uv1, y2, uv2):
             ctx = self._build_ctx(y1, uv1) if self.use_strips else None
-            _, blurred, raw = self._run_pyramid(
-                ctx, y1, uv1, y2, uv2, num_layers=num_layers, apron=apron)
+            p = plan
+            if p is not None and not flow_strip.uniform_fits(
+                    ctx, low_h=self.low_h, low_w=self.low_w,
+                    res_scalar=self.res_scalar, apron=apron):
+                p = ("G",) * len(p)
+            _, blurred, raw, sig = self._run_pyramid(
+                ctx, y1, uv1, y2, uv2, num_layers=num_layers, apron=apron,
+                plan=p)
             # Barrier: fusing the warp-context build into the pyramid's
             # compute region faults the TPU runtime (PERF.md fusion hazard).
-            acc = jax.lax.optimization_barrier(
-                raw + blurred[0, 0, 0].astype(jnp.uint32))
+            acc = raw + blurred[0, 0, 0].astype(jnp.uint32)
+            if sig is not None:
+                acc = acc + jnp.sum(sig).astype(jnp.uint32)
+            acc = jax.lax.optimization_barrier(acc)
             if self.use_warp_strips:
                 w = self._build_wctx(y1, uv1)
                 acc = acc + jax.lax.optimization_barrier(

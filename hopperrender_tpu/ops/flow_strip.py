@@ -139,6 +139,29 @@ def patch_fits(ctx: dict, *, low_h: int, low_w: int, window: int,
             and need[2] <= hcd and need[3] <= ctx["dec_uv"].shape[1])
 
 
+def uniform_fits(ctx: dict, *, low_h: int, low_w: int, res_scalar: int,
+                 apron: int) -> bool:
+    """Can the uniform/mode tier's (low_h, low_w) dynamic slices run clip-free
+    on this context's decimated planes? dynamic_slice CLAMPS out-of-range
+    starts, which silently SHIFTS the sampled plane — contexts built without
+    low_dims padding can be up to one decimated row/col short near the apron
+    bound (same hazard class as patch_fits)."""
+    if "dec_y" not in ctx:
+        return False
+    rs = res_scalar
+    P, Pc = 1 << rs, 1 << (rs - 1)
+    a = apron
+    hd = ctx["dec_y"].shape[0] // (P * P)
+    wd = ctx["dec_y"].shape[1]
+    hcd = ctx["dec_uv"].shape[0] // (Pc * Pc)
+    wcd = ctx["dec_uv"].shape[1]
+    # Slice starts reach (2a) >> rs in luma space and (2*(a//2)) >> (rs-1) in
+    # chroma space at the apron-bound offsets.
+    return (hd >= ((2 * a) >> rs) + low_h and wd >= ((2 * a) >> rs) + low_w
+            and hcd >= ((2 * (a // 2)) >> (rs - 1)) + low_h
+            and wcd >= ((2 * (a // 2)) >> (rs - 1)) + low_w)
+
+
 def _phase_decimate(plane: jnp.ndarray, p: int) -> jnp.ndarray:
     """Fold 2^rs-phase decimation into rows: out[(py*p + px)*Hd + i, j] ==
     plane[i*p + py, j*p + px]. Used by the coarse-window patch gather."""
@@ -632,7 +655,9 @@ def delta_window_sums_uniform(
     bias_offsets: plane used for the bias/neighbor terms and the window
     representatives in the tail (defaults to `offsets`); the mode tier samples
     at the dominant offset but keeps the REAL plane's biases."""
-    assert res_scalar >= 1 and "dec_y" in ctx
+    assert res_scalar >= 1 and uniform_fits(
+        ctx, low_h=offsets.shape[1], low_w=offsets.shape[2],
+        res_scalar=res_scalar, apron=apron)
     if bias_offsets is None:
         bias_offsets = offsets
     rs = res_scalar
@@ -748,6 +773,31 @@ def mode_tier_cap(window_size: int, low_h: int, low_w: int) -> int:
     return min(2048, max(1, 4096 // window_size), n_win)
 
 
+# Graduated mode-tier caps for the PLANNED pyramid: the correction batch costs
+# its static cap, so steps with only a handful of deviant windows (border
+# effects on otherwise-converged content) should pay a small cap, not the full
+# one. "M" = the full mode_tier_cap (the cond path's single tier).
+MODE_TIER_CAPS = {"M0": 32, "M1": 256, "M": None}
+
+
+def tier_cap(tier: str, window_size: int, low_h: int, low_w: int) -> int:
+    """Static deviant budget of a mode tier ('M0'/'M1'/'M')."""
+    full = mode_tier_cap(window_size, low_h, low_w)
+    cap = MODE_TIER_CAPS[tier]
+    return full if cap is None else min(cap, full)
+
+
+def tier_valid(tier: str, n_dev: int, window_size: int, low_h: int,
+               low_w: int) -> bool:
+    """Was `tier` a correct choice for a step whose pre-step deviant count
+    (vs the probe-dominant offset) was n_dev? 'G' is unconditionally exact."""
+    if tier == "G":
+        return True
+    if tier == "U":
+        return n_dev == 0
+    return n_dev <= tier_cap(tier, window_size, low_h, low_w)
+
+
 def delta_window_sums_mode(
     ctx: dict,
     f2y: jnp.ndarray,
@@ -766,6 +816,7 @@ def delta_window_sums_mode(
     apron: int,
     dim_y: int,
     dim_x: int,
+    cap: int | None = None,
 ) -> jnp.ndarray:
     """MODE-DOMINANT tier: dense zero-gather sums at the dominant offset
     (delta_window_sums_uniform — exact for every window holding the dominant
@@ -779,7 +830,9 @@ def delta_window_sums_mode(
     Bit-exact: non-deviant windows get the dense sums (their offsets equal
     the dominant), deviant windows are recomputed with the strip kernel's
     exact arithmetic (biases included) and overwritten."""
-    assert res_scalar >= 1 and "dec_y" in ctx
+    assert res_scalar >= 1 and uniform_fits(
+        ctx, low_h=offsets.shape[1], low_w=offsets.shape[2],
+        res_scalar=res_scalar, apron=apron)
     rs = res_scalar
     L = num_layers
     w = window_size
@@ -787,7 +840,8 @@ def delta_window_sums_mode(
     low_h, low_w = offsets.shape[1:]
     n_wy = -(-low_h // w)
     n_wx = -(-low_w // w)
-    K = mode_tier_cap(w, low_h, low_w)
+    K = mode_tier_cap(w, low_h, low_w) if cap is None \
+        else min(cap, n_wy * n_wx)
 
     win_x = offsets[0, ::w, ::w].astype(jnp.int32)
     win_y = offsets[1, ::w, ::w].astype(jnp.int32)
@@ -1139,7 +1193,9 @@ def pyramid_flow_strip(
     its prebuilt context (built once per source frame by the engine)."""
     offsets = jnp.zeros((2, low_h, low_w), dtype=jnp.int16)
     total_delta_raw = jnp.uint32(0)
-    if uniform_tier and "dec_y" in ctx1:
+    use_tiers = uniform_tier and uniform_fits(
+        ctx1, low_h=low_h, low_w=low_w, res_scalar=res_scalar, apron=apron)
+    if use_tiers:
         # One u32 operand through every per-step cond (see _flatten_ctx);
         # the frame-2 planes ride along (they would be copied per cond too).
         ctx_flat, ctx_meta = _flatten_ctx(
@@ -1163,7 +1219,7 @@ def pyramid_flow_strip(
                       iteration=iteration, step=step, is_hdr=is_hdr,
                       num_layers=num_layers, apron=apron,
                       dim_y=dim_y, dim_x=dim_x)
-            if uniform_tier and "dec_y" in ctx1:
+            if use_tiers:
                 # MODE-DOMINANT TIER: when all but <= K windows hold one
                 # offset (iteration 0 by construction; converged motion on
                 # real content afterwards), sample densely at the dominant
@@ -1235,3 +1291,183 @@ def pyramid_flow_strip(
 
     blurred = flow_ops.blur_flow(offsets)
     return offsets, blurred, total_delta_raw
+
+
+# --------------------------------------------------------------------------
+# PLANNED pyramid: host-side tier selection (no per-step lax.cond)
+#
+# The cond-dispatched tiers above are bit-exact but pay a per-step device tax:
+# ~0.74 ms fixed cond overhead plus a copy of the flattened context operand
+# (~4.4 ms at 4K HDR) on EVERY pyramid step — ~5 ms x 14-16 steps of pure
+# dispatch that swamps the 0.10 ms uniform-step compute (chip probes, PERF.md
+# round 2). The reference's own adaptivity is host-driven per frame
+# (ref: HopperRender.cpp:1438-1463 autoAdjustSettings); the planned pyramid
+# applies the same move to tier selection:
+#
+#   * the per-step tier choice is a STATIC `plan` baked into the executable —
+#     each step calls its kernel directly, no cond, no operand copies;
+#   * every step also computes its pre-step deviant-window count n_dev (a few
+#     vector ops on the tiny window grid) and returns the vector: the host
+#     VALIDATES the plan it ran (tier_valid) and PREDICTS the next frame's
+#     plan (predict_plan) from counts fetched with the same device->host
+#     sync the engine already performs for honest timing;
+#   * on a misprediction the host re-runs the pair with repair_plan (the
+#     still-valid prefix + exact gather steps) before the flow is consumed —
+#     the flow isn't needed until the NEXT frame's warp (1-pair pipeline),
+#     and stable content mispredicts rarely.
+#
+# Each distinct plan is one compiled executable (cached per plan tuple); on
+# stable content the plan converges after 1-2 frames.
+# --------------------------------------------------------------------------
+
+
+def plan_steps(low_h: int, low_w: int,
+               num_iterations: int = 0) -> list[tuple[int, int, int]]:
+    """Per-step (iteration, window, step) list in execution order."""
+    return [(it, w, s)
+            for it, w in flow_ops.window_schedule(low_h, low_w, num_iterations)
+            for s in (0, 1)]
+
+
+def default_plan(low_h: int, low_w: int, num_iterations: int = 0) -> tuple:
+    """First-pair plan: iteration-0 step-0 is provably uniform (offsets start
+    zeroed); everything else exact gathers until counts teach us better."""
+    n = len(plan_steps(low_h, low_w, num_iterations))
+    return ("U",) + ("G",) * (n - 1)
+
+
+def predict_plan(ndev, low_h: int, low_w: int,
+                 num_iterations: int = 0) -> tuple:
+    """Next-frame plan from this frame's per-step deviant counts. Chooses the
+    cheapest tier with 2x headroom over the observed count (so small
+    frame-to-frame fluctuations don't mispredict); U only at exactly zero."""
+    steps = plan_steps(low_h, low_w, num_iterations)
+    plan = []
+    for n, (_, w, _) in zip(ndev, steps):
+        n = int(n)
+        if n == 0:
+            plan.append("U")
+        elif 2 * n <= tier_cap("M0", w, low_h, low_w):
+            plan.append("M0")
+        elif 2 * n <= tier_cap("M1", w, low_h, low_w):
+            plan.append("M1")
+        elif 2 * n <= tier_cap("M", w, low_h, low_w):
+            plan.append("M")
+        else:
+            plan.append("G")
+    return tuple(plan)
+
+
+def first_invalid_step(plan, ndev, low_h: int, low_w: int,
+                       num_iterations: int = 0) -> int | None:
+    """Index of the first step whose planned tier was wrong for the measured
+    pre-step deviant count, or None when the whole run was valid. Counts
+    AFTER the first invalid step are untrustworthy (the offsets diverged)."""
+    steps = plan_steps(low_h, low_w, num_iterations)
+    for i, (tier, n, (_, w, _)) in enumerate(zip(plan, ndev, steps)):
+        if not tier_valid(tier, int(n), w, low_h, low_w):
+            return i
+    return None
+
+
+def repair_plan(plan, invalid_step: int) -> tuple:
+    """Redo plan after a misprediction: keep the proven-valid prefix, exact
+    gathers from the first invalid step on."""
+    return tuple(plan[:invalid_step]) + ("G",) * (len(plan) - invalid_step)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("low_h", "low_w", "res_scalar", "is_hdr", "num_iterations",
+                     "num_layers", "apron", "dim_y", "dim_x", "plan"),
+)
+def pyramid_flow_strip_planned(
+    ctx1: dict,
+    f2y: jnp.ndarray,
+    f2uv: jnp.ndarray,
+    radius: jnp.ndarray,
+    delta_scalar: jnp.ndarray,
+    neighbor_scalar: jnp.ndarray,
+    *,
+    low_h: int,
+    low_w: int,
+    res_scalar: int,
+    is_hdr: bool,
+    num_iterations: int = 0,
+    num_layers: int = MAX_R,
+    apron: int,
+    dim_y: int,
+    dim_x: int,
+    plan: tuple,
+):
+    """Statically tier-planned twin of pyramid_flow_strip (see block comment
+    above). Returns (offsets, blurred, total_delta_raw, sig) where
+    sig[:-1] = per-step pre-step deviant counts (int32; the host's validity
+    and prediction signal) and sig[-1] = a 1-element completion probe
+    (blurred[0,0,0]) so ONE host fetch of `sig` both validates the plan and
+    forces completion for honest timing (PERF.md dispatch semantics).
+
+    Outputs are bit-exact vs pyramid_flow (the gather formulation) whenever
+    the plan is VALID for the content (tier_valid per step); an invalid plan
+    is detectable from sig and must be repaired+rerun by the caller."""
+    steps = plan_steps(low_h, low_w, num_iterations)
+    assert len(plan) == len(steps), (plan, steps)
+    tiers_ok = uniform_fits(ctx1, low_h=low_h, low_w=low_w,
+                            res_scalar=res_scalar, apron=apron)
+    assert tiers_ok or all(t == "G" for t in plan), \
+        "U/M tiers need a low_dims-padded context (uniform_fits)"
+
+    offsets = jnp.zeros((2, low_h, low_w), dtype=jnp.int16)
+    total_delta_raw = jnp.uint32(0)
+    ndevs = []
+    for tier, (iteration, window, step) in zip(plan, steps):
+        kw = dict(window_size=window, res_scalar=res_scalar,
+                  iteration=iteration, step=step, is_hdr=is_hdr,
+                  num_layers=num_layers, apron=apron,
+                  dim_y=dim_y, dim_x=dim_x)
+        # Pre-step deviant count vs the probe-dominant offset — always
+        # computed (a few vector ops on the window grid): it validates THIS
+        # step's tier and predicts the next frame's.
+        win_pk = ((offsets[0, ::window, ::window].astype(jnp.int32) << 16)
+                  | (offsets[1, ::window, ::window].astype(jnp.int32)
+                     & 0xFFFF))
+        n_dev = jnp.sum((win_pk != _dominant_offset(win_pk))
+                        .astype(jnp.int32))
+        ndevs.append(n_dev)
+
+        if tier == "U":
+            sums = delta_window_sums_uniform(
+                ctx1, f2y, f2uv, offsets, radius, delta_scalar,
+                neighbor_scalar, **kw)
+        elif tier in MODE_TIER_CAPS:
+            sums = delta_window_sums_mode(
+                ctx1, f2y, f2uv, offsets, radius, delta_scalar,
+                neighbor_scalar, cap=tier_cap(tier, window, low_h, low_w),
+                **kw)
+        else:
+            assert tier == "G", tier
+            n_desc = num_layers * -(-low_h // window) * -(-low_w // window)
+            use_patch = n_desc <= 4096 and patch_fits(
+                ctx1, low_h=low_h, low_w=low_w, window=window,
+                res_scalar=res_scalar, apron=apron)
+            kernel = (delta_window_sums_patch if use_patch
+                      else delta_window_sums_strip)
+            sums = kernel(ctx1, f2y, f2uv, offsets, radius, delta_scalar,
+                          neighbor_scalar, **kw)
+
+        if iteration == 0 and step == 0:
+            total_delta_raw = jax.lax.dynamic_index_in_dim(
+                sums[:, 0, 0], radius // 2 - 1, keepdims=False)
+        winners = flow_ops.lowest_layer(sums)
+        offsets = flow_ops.adjust_offsets(
+            offsets, winners, radius, window_size=window, step=step)
+        # Per-step fence: unbounded fusion across pyramid steps faults the
+        # TPU runtime (PERF.md fusion hazard) — same fence as the cond path.
+        offsets = jax.lax.optimization_barrier(offsets)
+
+    blurred = flow_ops.blur_flow(offsets)
+    sig = jnp.concatenate([
+        jnp.stack(ndevs),
+        blurred[0, 0, 0].astype(jnp.int32)[None],
+    ])
+    return offsets, blurred, total_delta_raw, sig

@@ -160,8 +160,13 @@ def _fast_tables(r, p, q, *, cell: int, per32: int, cb: int, cps: int,
     # Row window bound: the kernel loads at cr8*8 + rab for RV rows; the band
     # scratch has band_rows + 2a + RV rows, and rab <= 2a, cr8*8 <= band_rows-8.
     ok = ok_v & ok_h
-    fscal = ((rab >> 3) | ((bl >> 7) << 9) | (ramt << 16)
-             | (ok.astype(jnp.int32) << 31))
+    # Mask each packed field to its read width and zero the whole record when
+    # not ok: an out-of-range field (e.g. negative ramt if the displacement
+    # bound were ever violated) must not be able to reach bit 31, which the
+    # kernel reads as the fast-path certificate (scal < 0).
+    packed = (((rab >> 3) & 0x1FF) | (((bl >> 7) & 0x7F) << 9)
+              | ((ramt & 0xFF) << 16))
+    fscal = jnp.where(ok, packed | (jnp.int32(1) << 31), 0)
 
     # Per-lane residual map (clips only pad safety: out-of-bound residuals
     # imply ok=false, so the fast path never consumes the clipped values).

@@ -170,17 +170,24 @@ def _gather_runs(plane, row_idx, base, run: int, group: int):
 
 @functools.partial(
     jax.jit, static_argnames=("res_scalar", "mode", "is_hdr", "dim_y", "dim_x",
-                              "apron"),
+                              "apron", "out_rows_y", "out_rows_uv"),
 )
 def warp_frame_strip(
     wctx12: dict, wctx21: dict,
     flow: jnp.ndarray,
     blending_scalar, black_level, white_level,
+    row0_y=0, row0_uv=0,
     *,
     res_scalar: int, mode: int, is_hdr: bool, dim_y: int, dim_x: int, apron: int,
+    out_rows_y: int | None = None, out_rows_uv: int | None = None,
 ):
     """Strip-mined twin of ops.warp.warp_frame for modes 0/1/2 — identical outputs.
-    Requires res_scalar >= 1 and dims divisible by 2^res_scalar."""
+    Requires res_scalar >= 1 and dims divisible by 2^res_scalar.
+
+    row0_y / out_rows_y (and the UV pair) compute only a SLAB of output rows
+    starting at the traced row0 — the multi-chip row-sharding axis
+    (SURVEY.md §2.6, parallel/mesh.py): each device gathers only its band's
+    runs. Defaults cover the whole frame."""
     assert mode in (0, 1, 2)
     rs = res_scalar
     cell = 1 << rs
@@ -192,6 +199,8 @@ def warp_frame_strip(
     dtype = jnp.uint16 if is_hdr else jnp.uint8
     group_y = 4 if is_hdr else 8
     group_c = 2 if is_hdr else 4
+    out_rows_y = dim_y if out_rows_y is None else out_rows_y
+    out_rows_uv = dim_y // 2 if out_rows_uv is None else out_rows_uv
 
     t = jnp.asarray(blending_scalar, F32)
     fs12 = t
@@ -201,16 +210,16 @@ def warp_frame_strip(
 
     # ---- Y plane ------------------------------------------------------------
     # Segment = (output row, cell column). Cell row index = cy >> rs.
-    cy = jnp.arange(dim_y, dtype=jnp.int32)
+    cy = jnp.arange(out_rows_y, dtype=jnp.int32) + jnp.asarray(row0_y, jnp.int32)
     cix = jnp.arange(n_cx, dtype=jnp.int32)
     cell_row = jnp.clip(cy >> rs, 0, low_h - 1)
     cell_col = jnp.clip(cix, 0, low_w - 1)
 
     def y_samples(ctx, dx, dy):
-        rows = cy[:, None] + dy[cell_row][:, cell_col] + a       # (H, n_cx)
+        rows = cy[:, None] + dy[cell_row][:, cell_col] + a       # (rows_y, n_cx)
         base = (cix[None, :] << rs) + dx[cell_row][:, cell_col] + a
         runs = _gather_runs(ctx["wpad_y"], rows, base, cell, group_y)
-        return runs.reshape(dim_y, n_cx * cell).astype(jnp.int32)
+        return runs.reshape(out_rows_y, n_cx * cell).astype(jnp.int32)
 
     v12_y = y_samples(wctx12, dx12, dy12) if mode != 1 else None
     v21_y = y_samples(wctx21, dx21, dy21) if mode != 0 else None
@@ -218,8 +227,8 @@ def warp_frame_strip(
     # ---- UV plane -----------------------------------------------------------
     # Output (H/2, W); flow lookup at ((cy2 >> rs) << 1, (cx >> rs) & ~1)
     # (ref: warpFrameKernelSDR.h:153-154).
-    h2 = dim_y // 2
-    cy2 = jnp.arange(h2, dtype=jnp.int32)
+    h2 = out_rows_uv
+    cy2 = jnp.arange(h2, dtype=jnp.int32) + jnp.asarray(row0_uv, jnp.int32)
     uv_cell_row = jnp.clip((cy2 >> rs) << 1, 0, low_h - 1)
     uv_cell_col = jnp.clip(cix & ~1, 0, low_w - 1)
     pairs_per_cell = cell // 2

@@ -30,6 +30,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from hopperrender_tpu.ops import flow as flow_ops
 from hopperrender_tpu.ops import flow_strip
 from hopperrender_tpu.ops import warp as warp_ops
+from hopperrender_tpu.ops import warp_strip
 
 MAX_R = flow_ops.MAX_R
 
@@ -38,32 +39,66 @@ def pyramid_flow_strip_sharded(
     ctx1: dict, f2y, f2uv, radius, delta_scalar, neighbor_scalar,
     *, low_h: int, low_w: int, res_scalar: int, is_hdr: bool, num_layers: int,
     apron: int, dim_y: int, dim_x: int, num_iterations: int = 0,
-    axis_name: str, num_shards: int,
+    axis_name: str, num_shards: int, plan: tuple | None = None,
 ):
-    """Sharded twin of flow_strip.pyramid_flow_strip — the PRODUCTION
-    formulation on the mesh. Fine windows shard the strip SEGMENT axis (window
-    rows for step 0, window cols for step 1) so each device issues 1/n of the
-    gather indices — the only lever that scales this gather-bound workload
-    (PERF.md). Coarse (patch) windows shard the LAYER axis (one descriptor per
-    layer x window divides exactly). Only KB-scale compact window sums cross
-    chips; the frame context is replicated."""
+    """Sharded twin of the PRODUCTION pyramid on the mesh, with the engine's
+    host-planned tier dispatch (flow_strip.pyramid_flow_strip_planned):
+
+      * U/M steps (dense-uniform / mode-corrected) run REPLICATED — they cost
+        ~0.1-1 ms and need no collective; every device computes the identical
+        sums from the replicated context and offsets.
+      * G steps — the gather-bound work sharding exists to divide — shard the
+        strip SEGMENT axis (window rows for step 0, cols for step 1) so each
+        device issues 1/n of the gather indices (PERF.md: index count is the
+        cost); coarse (patch) windows shard the LAYER axis. Only KB-scale
+        compact window sums cross chips (ICI all-gather); the frame context
+        is replicated.
+
+    plan=None runs all-G (the tier-free baseline). Returns
+    (offsets, blurred, total_delta_raw, sig) with the same validity sig as
+    the single-device planned pyramid (per-step deviant counts + completion
+    probe) so the host plan loop works unchanged on the mesh."""
     offsets = jnp.zeros((2, low_h, low_w), dtype=jnp.int16)
     total_delta_raw = jnp.uint32(0)
     shard = jax.lax.axis_index(axis_name)
     L = num_layers
+    steps = flow_strip.plan_steps(low_h, low_w, num_iterations)
+    if plan is None:
+        plan = ("G",) * len(steps)
+    assert len(plan) == len(steps)
+    tiers_ok = flow_strip.uniform_fits(
+        ctx1, low_h=low_h, low_w=low_w, res_scalar=res_scalar, apron=apron)
+    assert tiers_ok or all(t == "G" for t in plan), \
+        "U/M tiers need a low_dims-padded context (uniform_fits)"
+    ndevs = []
 
-    for iteration, window in flow_ops.window_schedule(low_h, low_w,
-                                                      num_iterations):
-        for step in (0, 1):
-            n_wy = -(-low_h // window)
-            n_wx = -(-low_w // window)
-            n_desc = L * n_wy * n_wx
+    for tier, (iteration, window, step) in zip(plan, steps):
+        n_wy = -(-low_h // window)
+        n_wx = -(-low_w // window)
+        n_desc = L * n_wy * n_wx
+        kw = dict(window_size=window, res_scalar=res_scalar,
+                  iteration=iteration, step=step, is_hdr=is_hdr,
+                  apron=apron, dim_y=dim_y, dim_x=dim_x)
+        win_pk = ((offsets[0, ::window, ::window].astype(jnp.int32) << 16)
+                  | (offsets[1, ::window, ::window].astype(jnp.int32)
+                     & 0xFFFF))
+        n_dev = jnp.sum((win_pk != flow_strip._dominant_offset(win_pk))
+                        .astype(jnp.int32))
+        ndevs.append(n_dev)
+        if tier == "U":
+            sums = flow_strip.delta_window_sums_uniform(
+                ctx1, f2y, f2uv, offsets, radius, delta_scalar,
+                neighbor_scalar, num_layers=L, **kw)
+        elif tier in flow_strip.MODE_TIER_CAPS:
+            sums = flow_strip.delta_window_sums_mode(
+                ctx1, f2y, f2uv, offsets, radius, delta_scalar,
+                neighbor_scalar, num_layers=L,
+                cap=flow_strip.tier_cap(tier, window, low_h, low_w), **kw)
+        else:
+            assert tier == "G", tier
             fits = flow_strip.patch_fits(
                 ctx1, low_h=low_h, low_w=low_w, window=window,
                 res_scalar=res_scalar, apron=apron)
-            kw = dict(window_size=window, res_scalar=res_scalar,
-                      iteration=iteration, step=step, is_hdr=is_hdr,
-                      apron=apron, dim_y=dim_y, dim_x=dim_x)
             if fits and n_desc <= 4096:
                 # Coarse: layer sharding (pad layers to the shard count).
                 l_loc = -(-L // num_shards)
@@ -84,16 +119,18 @@ def pyramid_flow_strip_sharded(
                 sums = jax.lax.all_gather(sums_local, axis_name, axis=axis,
                                           tiled=True)
                 sums = sums[:, :n_wy, :n_wx]
-            if iteration == 0 and step == 0:
-                total_delta_raw = jax.lax.dynamic_index_in_dim(
-                    sums[:, 0, 0], radius // 2 - 1, keepdims=False)
-            winners = flow_ops.lowest_layer(sums)
-            offsets = flow_ops.adjust_offsets(
-                offsets, winners, radius, window_size=window, step=step)
-            offsets = jax.lax.optimization_barrier(offsets)
+        if iteration == 0 and step == 0:
+            total_delta_raw = jax.lax.dynamic_index_in_dim(
+                sums[:, 0, 0], radius // 2 - 1, keepdims=False)
+        winners = flow_ops.lowest_layer(sums)
+        offsets = flow_ops.adjust_offsets(
+            offsets, winners, radius, window_size=window, step=step)
+        offsets = jax.lax.optimization_barrier(offsets)
 
     blurred = flow_ops.blur_flow(offsets)
-    return offsets, blurred, total_delta_raw
+    sig = jnp.concatenate([jnp.stack(ndevs),
+                           blurred[0, 0, 0].astype(jnp.int32)[None]])
+    return offsets, blurred, total_delta_raw, sig
 
 
 def pyramid_flow_sharded(
@@ -134,6 +171,29 @@ def pyramid_flow_sharded(
     return offsets, blurred, total_delta_raw
 
 
+def warp_frame_strip_sharded(
+    wctx12: dict, wctx21: dict, flow, blending_scalar, black, white,
+    *, res_scalar: int, mode: int, is_hdr: bool, dim_y: int, dim_x: int,
+    apron: int, axis_name: str, num_shards: int,
+):
+    """Row-sharded PRODUCTION (strip-mined) warp: each device gathers only its
+    band of Y and UV output runs from the replicated warp contexts — 1/n of
+    the gather indices, the same lever as the sharded pyramid's G steps."""
+    assert dim_y % (2 * num_shards) == 0, \
+        "frame rows must split evenly (Y and UV)"
+    rows_y = dim_y // num_shards
+    rows_uv = (dim_y // 2) // num_shards
+    shard = jax.lax.axis_index(axis_name)
+    return warp_strip.warp_frame_strip(
+        wctx12, wctx21, flow,
+        jnp.asarray(blending_scalar, jnp.float32),
+        jnp.asarray(black, jnp.float32), jnp.asarray(white, jnp.float32),
+        shard * rows_y, shard * rows_uv,
+        res_scalar=res_scalar, mode=mode, is_hdr=is_hdr,
+        dim_y=dim_y, dim_x=dim_x, apron=apron,
+        out_rows_y=rows_y, out_rows_uv=rows_uv)
+
+
 def warp_frame_sharded(
     src12_y, src12_uv, src21_y, src21_uv, flow, blending_scalar, black, white,
     *, res_scalar: int, mode: int, is_hdr: bool, axis_name: str, num_shards: int,
@@ -171,20 +231,30 @@ def make_multichip_step(
     res_scalar: int,
     is_hdr: bool = False,
     mode: int = 2,
+    plan: tuple | None = None,
 ):
     """Build the jitted multi-chip interpolation step.
 
     Takes a batch of streams (leading axis sharded over "dp"); within each stream the
-    flow layers and warp rows shard over "sp". Inputs per stream: the 3-frame ring
-    (f0=N-2, f1=N-1, f2=N) and the previous pair's blurred flow (the 1-pair pipeline,
-    SURVEY.md §2.2). Returns (out_y, out_uv, new_blurred_flow, total_delta_raw).
+    flow layers/segments and warp rows shard over "sp". Inputs per stream: the
+    3-frame ring (f0=N-2, f1=N-1, f2=N) and the previous pair's blurred flow (the
+    1-pair pipeline, SURVEY.md §2.2). plan = the host-selected flow tier plan
+    (flow_strip.predict_plan; None = all exact gathers). Returns
+    (out_y, out_uv, new_blurred_flow, total_delta_raw, sig) — sig is the planned
+    pyramid's validity vector so the host plan loop works on the mesh too.
     """
     n_sp = mesh.shape["sp"]
     use_strips = res_scalar >= 1
+    cell = 1 << res_scalar
     apron = flow_strip.apron_for(low_h, low_w) if use_strips else 0
+    # Production (strip) warp needs cell-aligned dims and even row bands.
+    use_warp_strips = (use_strips and frame_height % cell == 0
+                       and frame_width % cell == 0
+                       and frame_height % (2 * n_sp) == 0)
 
     def per_stream(f0y, f0uv, f1y, f1uv, f2y, f2uv, flow_prev, radius, dscalar,
                    nscalar, t, black, white):
+        sig = jnp.zeros((1,), jnp.int32)
         if use_strips:
             # Production strip/patch formulation: context replicated per shard
             # (built from the already-resident frame), segments/layers sharded.
@@ -192,12 +262,12 @@ def make_multichip_step(
                 f1y, f1uv, apron=apron, is_hdr=is_hdr,
                 res_scalar=res_scalar if res_scalar <= 4 else None,
                 low_dims=(low_h, low_w))
-            _, blurred, delta_raw = pyramid_flow_strip_sharded(
+            _, blurred, delta_raw, sig = pyramid_flow_strip_sharded(
                 ctx1, f2y, f2uv, radius, dscalar, nscalar,
                 low_h=low_h, low_w=low_w, res_scalar=res_scalar, is_hdr=is_hdr,
                 num_layers=MAX_R, apron=apron,
                 dim_y=frame_height, dim_x=frame_width,
-                axis_name="sp", num_shards=n_sp,
+                axis_name="sp", num_shards=n_sp, plan=plan,
             )
         else:
             _, blurred, delta_raw = pyramid_flow_sharded(
@@ -205,12 +275,24 @@ def make_multichip_step(
                 low_h=low_h, low_w=low_w, res_scalar=res_scalar, is_hdr=is_hdr,
                 axis_name="sp", num_shards=n_sp,
             )
-        out_y, out_uv = warp_frame_sharded(
-            f0y, f0uv, f1y, f1uv, flow_prev, t, black, white,
-            res_scalar=res_scalar, mode=mode, is_hdr=is_hdr,
-            axis_name="sp", num_shards=n_sp,
-        )
-        return out_y, out_uv, blurred, delta_raw
+        if use_warp_strips:
+            wc12 = warp_strip.build_warp_context(f0y, f0uv, apron=apron,
+                                                 is_hdr=is_hdr)
+            wc21 = warp_strip.build_warp_context(f1y, f1uv, apron=apron,
+                                                 is_hdr=is_hdr)
+            out_y, out_uv = warp_frame_strip_sharded(
+                wc12, wc21, flow_prev, t, black, white,
+                res_scalar=res_scalar, mode=mode, is_hdr=is_hdr,
+                dim_y=frame_height, dim_x=frame_width, apron=apron,
+                axis_name="sp", num_shards=n_sp,
+            )
+        else:
+            out_y, out_uv = warp_frame_sharded(
+                f0y, f0uv, f1y, f1uv, flow_prev, t, black, white,
+                res_scalar=res_scalar, mode=mode, is_hdr=is_hdr,
+                axis_name="sp", num_shards=n_sp,
+            )
+        return out_y, out_uv, blurred, delta_raw, sig
 
     def shard_body(f0y, f0uv, f1y, f1uv, f2y, f2uv, flow_prev, radius, dscalar,
                    nscalar, t, black, white):
@@ -229,6 +311,7 @@ def make_multichip_step(
         P("dp", "sp", None),   # out_uv rows sharded
         flow_spec,             # blurred flow replicated within sp
         P("dp"),               # per-stream delta
+        P("dp", None),         # plan validity sig (replicated within sp)
     )
 
     sharded = jax.shard_map(

@@ -71,15 +71,17 @@ def synthetic_frame(rng: np.random.Generator, height: int, width: int, *,
     dtype = np.uint16 if is_hdr else np.uint8
     peak = 65535 if is_hdr else 255
     if coherent:
+        # Canvas sized so the FULL +/-64 range maps to distinct windows (a
+        # plain `% 64` would alias motion_x == +/-64 to zero motion).
         assert abs(motion_x) <= 64
-        canvas = width + 64
+        canvas = width + 128
         yy, xx = np.mgrid[0:height, 0:canvas]
         tex = ((np.sin(xx * 0.17) + np.cos(yy * 0.23)
                 + np.sin((xx + yy) * 0.05)) + 3) / 6
         noise = np.random.default_rng(0x5EED).random((height, canvas)) * 0.1
         full_y = ((tex + noise) / 1.1 * peak).astype(dtype)
         full_uv = ((tex[::2] + noise[::2]) / 1.1 * peak).astype(dtype)
-        x = motion_x % 64
+        x = motion_x + 64
         return full_y[:, x:x + width].copy(), full_uv[:, x:x + width].copy()
     yy, xx = np.mgrid[0:height, 0:width + abs(motion_x)]
     tex = ((np.sin(xx * 0.17) + np.cos(yy * 0.23) + np.sin((xx + yy) * 0.05)) + 3) / 6

@@ -12,6 +12,8 @@ def main():
     is_hdr = len(sys.argv) > 1 and sys.argv[1] == "hdr"
     if is_hdr:
         rs = 3
+    if "4k" in sys.argv:   # full 4K geometry (the served headline config)
+        h, w, rs, apron = 2160, 3840, 3, 48
     dt = np.uint16 if is_hdr else np.uint8
     hi = 65536 if is_hdr else 256
     low_h, low_w = h >> rs, w >> rs
@@ -25,7 +27,7 @@ def main():
     c2 = warp_strip.build_warp_context(jnp.asarray(y2), jnp.asarray(uv2), apron=apron, is_hdr=is_hdr)
     scale = 256.0 if is_hdr else 1.0
     args = (c1, c2, jnp.asarray(flow), jnp.float32(0.375), jnp.float32(16.0*scale), jnp.float32(235.0*scale))
-    for mode in (2, 0):
+    for mode in (2, 0, 1):
         kw = dict(res_scalar=rs, mode=mode, is_hdr=is_hdr, dim_y=h, dim_x=w, apron=apron)
         ys, uvs = warp_strip.warp_frame_strip(*args, **kw)
         ys, uvs = np.asarray(ys), np.asarray(uvs)

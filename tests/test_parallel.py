@@ -47,7 +47,7 @@ def test_multichip_matches_single_device(rng, dp, sp):
                                res_scalar=rs, is_hdr=is_hdr, mode=2)
     radius, dsc, nsc = jnp.int32(9), jnp.int32(8), jnp.int32(6)
     t, black, white = jnp.float32(0.375), jnp.float32(0.0), jnp.float32(255.0)
-    out_y, out_uv, blurred, delta = step(
+    out_y, out_uv, blurred, delta, _sig = step(
         f0y, f0uv, f1y, f1uv, f2y, f2uv, flow_prev, radius, dsc, nsc, t, black, white)
 
     # Single-device reference per stream.
@@ -102,9 +102,110 @@ def test_multichip_strip_segments_match_single_device(rng, sp):
         body, mesh=mesh,
         in_specs=(jax.sharding.PartitionSpec(), jax.sharding.PartitionSpec()),
         out_specs=jax.sharding.PartitionSpec(), check_vma=False))
-    _, blur_mc, delta_mc = sharded(jnp.asarray(f2[0]), jnp.asarray(f2[1]))
+    _, blur_mc, delta_mc, _sig = sharded(jnp.asarray(f2[0]), jnp.asarray(f2[1]))
     np.testing.assert_array_equal(np.asarray(blur_mc), np.asarray(blur_1d))
     assert int(delta_mc) == int(delta_1d)
+
+
+@pytest.mark.parametrize("sp", [4, 8])
+def test_multichip_planned_tiers_match_single_device(rng, sp):
+    """The SERVED formulation end to end on the mesh: planned tier dispatch
+    (U/M replicated, G segment/layer-sharded) at a geometry that routes both
+    patch (coarse) and strip (fine, n_desc > 4096) G steps, vs the
+    single-device planned pyramid — bit-exact including the validity sig."""
+    import jax.numpy as jnp
+    from hopperrender_tpu.ops import flow_strip
+    from hopperrender_tpu.parallel import mesh as pmesh
+
+    h, w = 64, 128
+    rs, low_h, low_w = 1, 32, 64
+    # Pure pan pair: a settled plan mixes U and M tiers with G steps.
+    canvas_y = rng.integers(0, 200, (h, w + 8), dtype=np.uint8)
+    canvas_uv = rng.integers(0, 200, (h // 2, w + 8), dtype=np.uint8)
+    f1 = (canvas_y[:, 0:w].copy(), canvas_uv[:, 0:w].copy())
+    f2 = (canvas_y[:, 2:2 + w].copy(), canvas_uv[:, 2:2 + w].copy())
+    apron = flow_strip.apron_for(low_h, low_w)
+    ctx1 = flow_strip.build_frame_context(
+        jnp.asarray(f1[0]), jnp.asarray(f1[1]), apron=apron, is_hdr=False,
+        res_scalar=rs, low_dims=(low_h, low_w))
+    radius, dsc, nsc = jnp.int32(16), jnp.int32(8), jnp.int32(6)
+    kw = dict(low_h=low_h, low_w=low_w, res_scalar=rs, is_hdr=False,
+              apron=apron, dim_y=h, dim_x=w)
+
+    # Settle a plan on the single-device path (all tiers exact => counts from
+    # the all-G run decide it).
+    n = len(flow_strip.plan_steps(low_h, low_w))
+    base = flow_strip.pyramid_flow_strip_planned(
+        ctx1, jnp.asarray(f2[0]), jnp.asarray(f2[1]), radius, dsc, nsc,
+        num_layers=16, plan=("G",) * n, **kw)
+    plan = flow_strip.predict_plan(np.asarray(base[3])[:-1], low_h, low_w)
+    assert any(t != "G" for t in plan) and any(t == "G" for t in plan), plan
+    want = flow_strip.pyramid_flow_strip_planned(
+        ctx1, jnp.asarray(f2[0]), jnp.asarray(f2[1]), radius, dsc, nsc,
+        num_layers=16, plan=plan, **kw)
+
+    mesh = make_mesh(1, sp)
+
+    def body(f2y, f2uv):
+        return pmesh.pyramid_flow_strip_sharded(
+            ctx1, f2y, f2uv, radius, dsc, nsc, num_layers=16,
+            axis_name="sp", num_shards=sp, plan=plan, **kw)
+
+    sharded = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(jax.sharding.PartitionSpec(), jax.sharding.PartitionSpec()),
+        out_specs=jax.sharding.PartitionSpec(), check_vma=False))
+    got = sharded(jnp.asarray(f2[0]), jnp.asarray(f2[1]))
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
+    assert int(got[2]) == int(want[2])
+    np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(want[3]))
+
+
+@pytest.mark.parametrize("sp", [2, 8])
+def test_multichip_strip_warp_matches_single_device(rng, sp):
+    """Row-sharded PRODUCTION (strip) warp vs the full-frame strip warp.
+    Mode 0 (pure warp, integer path) must be exact; mode 2 blends in f32,
+    where XLA's fusion choices under shard_map may differ by one FMA —
+    the project-wide 1-LSB tolerance on float blend paths applies
+    (ROADMAP.md invariants)."""
+    import jax.numpy as jnp
+    from hopperrender_tpu.ops import flow_strip, warp_strip
+    from hopperrender_tpu.parallel import mesh as pmesh
+
+    h, w = 32, 64
+    rs, low_h, low_w = 1, 16, 32
+    f0 = make_frame(rng, h, w)
+    f1 = make_frame(rng, h, w)
+    fl = jnp.asarray(make_flow(rng, low_h, low_w, max_mag=6))
+    apron = flow_strip.apron_for(low_h, low_w)
+    wc12 = warp_strip.build_warp_context(
+        jnp.asarray(f0[0]), jnp.asarray(f0[1]), apron=apron, is_hdr=False)
+    wc21 = warp_strip.build_warp_context(
+        jnp.asarray(f1[0]), jnp.asarray(f1[1]), apron=apron, is_hdr=False)
+    t, black, white = jnp.float32(0.375), jnp.float32(0.0), jnp.float32(255.0)
+    mesh = make_mesh(1, sp)
+    P = jax.sharding.PartitionSpec
+    for mode, tol in ((0, 0), (1, 0), (2, 1)):
+        kw = dict(res_scalar=rs, mode=mode, is_hdr=False, dim_y=h, dim_x=w,
+                  apron=apron)
+        want_y, want_uv = warp_strip.warp_frame_strip(
+            wc12, wc21, fl, t, black, white, **kw)
+
+        def body(flow):
+            return pmesh.warp_frame_strip_sharded(
+                wc12, wc21, flow, t, black, white,
+                axis_name="sp", num_shards=sp, **kw)
+
+        sharded = jax.jit(jax.shard_map(
+            body, mesh=mesh, in_specs=(P(),),
+            out_specs=(P("sp", None), P("sp", None)), check_vma=False))
+        got_y, got_uv = sharded(fl)
+        dy = np.abs(np.asarray(got_y).astype(np.int64)
+                    - np.asarray(want_y).astype(np.int64)).max()
+        duv = np.abs(np.asarray(got_uv).astype(np.int64)
+                     - np.asarray(want_uv).astype(np.int64)).max()
+        assert dy <= tol and duv <= tol, (mode, dy, duv)
 
 
 def test_strip_slab_tiles_full_sums(rng):
