@@ -579,9 +579,11 @@ class GoldenEngine:
                  delta_scalar: int = config.DEFAULT_DELTA_SCALAR,
                  neighbor_scalar: int = config.DEFAULT_NEIGHBOR_SCALAR,
                  black_level: float = 0.0, white_level: float = 255.0,
-                 max_calc_res: int = config.MAX_CALC_RES):
+                 max_calc_res: int = config.MAX_CALC_RES,
+                 num_iterations: int = config.NUM_ITERATIONS):
         self.h, self.w = frame_height, frame_width
         self.is_hdr = is_hdr
+        self.num_iterations = num_iterations  # 0 = auto (ref: config.h:6)
         self.res_scalar, self.low_h, self.low_w = config.calc_flow_dims(
             frame_height, frame_width, max_calc_res)
         self.search_radius = config.MIN_SEARCH_RADIUS
@@ -605,7 +607,7 @@ class GoldenEngine:
         params = FlowParams(
             search_radius=self.search_radius, res_scalar=self.res_scalar,
             delta_scalar=self.delta_scalar, neighbor_bias_scalar=self.neighbor_scalar,
-            is_hdr=self.is_hdr)
+            is_hdr=self.is_hdr, num_iterations=self.num_iterations)
         _, blurred, delta = calculate_optical_flow(
             self.frames_y[1], self.frames_uv[1], self.frames_y[2], self.frames_uv[2],
             self.low_h, self.low_w, params)
