@@ -24,6 +24,7 @@ and neighbor scalars, blending scalar, levels) so no re-jit happens during strea
 
 from __future__ import annotations
 
+import functools
 import time
 
 import jax
@@ -43,26 +44,53 @@ def estimate_hbm_bytes(frame_height: int, frame_width: int, *, is_hdr: bool,
     """Device-memory footprint estimate for one engine instance: the 3-deep frame
     ring, the per-frame flow/warp contexts, flow double buffer, and pyramid working
     set. The TPU analogue of the reference's pre-build VRAM formula
-    (ref: opticalFlowCalc.cpp:45-110 detectDevices)."""
+    (ref: opticalFlowCalc.cpp:45-110 detectDevices).
+
+    The persistent terms are EXACT by construction: the context footprints come
+    from `jax.eval_shape` over the real builders (no allocation, no compile), so
+    they cannot drift as context layouts evolve — validated against the live
+    engine's array ledger by scripts/tpu_hbm_check.py. Only the transient
+    working-set term (_working_bytes) is a hand model."""
     h, w = frame_height, frame_width
     e = 2 if is_hdr else 1
     rs, low_h, low_w = config.calc_flow_dims(h, w, max_calc_res)
     a = flow_strip.apron_for(low_h, low_w) if rs >= 1 else 0
-    frames = 3 * (h * w + (h // 2) * w) * e
-    # Flow contexts are uint8-based for both bit depths (HDR pre-shifts >>8):
-    # pad_y + pad_y_t + dec_y + chroma pair/transposed/decimated planes.
-    pad_y = (h + 2 * a) * (w + 2 * a)
-    pad_c = (h // 2 + a) * (w // 2 + a)
-    flow_ctx = 3 * pad_y + 6 * pad_c
-    # Warp contexts in natural depth: luma pad + two stacked chroma pair planes.
-    warp_ctx = (pad_y + 2 * (h // 2 + 2 * a) * (w // 2 + a) * 2) * e
+    dt = jnp.uint16 if is_hdr else jnp.uint8
+    y_s = jax.ShapeDtypeStruct((h, w), dt)
+    uv_s = jax.ShapeDtypeStruct((h // 2, w), dt)
+    frames = 3 * (y_s.size + uv_s.size) * e
+
+    def tree_bytes(tree) -> int:
+        return sum(l.size * l.dtype.itemsize for l in jax.tree.leaves(tree))
+
+    if rs >= 1:
+        flow_ctx = tree_bytes(jax.eval_shape(
+            functools.partial(flow_strip.build_frame_context, apron=a,
+                              is_hdr=is_hdr, res_scalar=rs,
+                              low_dims=(low_h, low_w)), y_s, uv_s))
+        warp_ctx = tree_bytes(jax.eval_shape(
+            functools.partial(warp_strip.build_warp_context, apron=a,
+                              is_hdr=is_hdr), y_s, uv_s))
+    else:  # reference-formulation fallback path holds only the raw frames
+        flow_ctx = warp_ctx = 0
     contexts = 3 * (flow_ctx + warp_ctx)
     flow_bufs = 2 * 2 * low_h * low_w * 2
+    return (frames + contexts + flow_bufs
+            + _working_bytes(h, w, is_hdr=is_hdr, max_calc_res=max_calc_res))
+
+
+def _working_bytes(frame_height: int, frame_width: int, *, is_hdr: bool,
+                   max_calc_res: int = config.MAX_CALC_RES) -> int:
+    """Transient (executable working-set) term of estimate_hbm_bytes; split out
+    so scripts/tpu_hbm_check.py can validate the persistent terms against the
+    engine's live-array ledger separately."""
+    h, w = frame_height, frame_width
+    _, low_h, low_w = config.calc_flow_dims(h, w, max_calc_res)
     # Pyramid working set: cost volume + strip intermediates (uint32 per layer px).
     working = config.MAX_SEARCH_RADIUS * low_h * low_w * 4 * 6
     # Warp output + blend intermediates.
     working += 4 * (h * w + (h // 2) * w) * 4
-    return frames + contexts + flow_bufs + working
+    return working
 
 
 def check_device_memory(frame_height: int, frame_width: int, *, is_hdr: bool,
@@ -340,9 +368,9 @@ class OpticalFlowEngine:
         plan = self._current_plan(ctx1)
         out = self._run_pyramid(ctx1, f1y, f1uv, f2y, f2uv,
                                 num_layers=num_layers, apron=apron, plan=plan)
-        ndev = np.asarray(out[3])[:-1]   # forces completion (honest timing)
+        sig = np.asarray(out[3])   # forces completion (honest timing)
         bad = flow_strip.first_invalid_step(
-            plan, ndev, self.low_h, self.low_w, self.num_iterations)
+            plan, sig, self.low_h, self.low_w, self.num_iterations)
         if bad is not None:
             self.plan_mispredicts += 1
             self.plan_reruns += 1
@@ -350,12 +378,12 @@ class OpticalFlowEngine:
             out = self._run_pyramid(ctx1, f1y, f1uv, f2y, f2uv,
                                     num_layers=num_layers, apron=apron,
                                     plan=plan)
-            ndev = np.asarray(out[3])[:-1]
+            sig = np.asarray(out[3])
         if flow_strip.uniform_fits(ctx1, low_h=self.low_h, low_w=self.low_w,
                                    res_scalar=self.res_scalar,
                                    apron=self._apron):
             self._plans[self._plan_key()] = flow_strip.predict_plan(
-                ndev, self.low_h, self.low_w, self.num_iterations)
+                sig, self.low_h, self.low_w, self.num_iterations)
         return out
 
     def settle_plan(self, y1, uv1, y2, uv2, *, max_rounds: int = 4) -> tuple:
@@ -373,13 +401,13 @@ class OpticalFlowEngine:
             out = self._run_pyramid(ctx, y1, uv1, y2, uv2,
                                     num_layers=self._bucket,
                                     apron=self._apron, plan=plan)
-            ndev = np.asarray(out[3])[:-1]
+            sig = np.asarray(out[3])
             bad = flow_strip.first_invalid_step(
-                plan, ndev, self.low_h, self.low_w, self.num_iterations)
+                plan, sig, self.low_h, self.low_w, self.num_iterations)
             if bad is not None:
                 plan = flow_strip.repair_plan(plan, bad)
                 continue
-            nxt = flow_strip.predict_plan(ndev, self.low_h, self.low_w,
+            nxt = flow_strip.predict_plan(sig, self.low_h, self.low_w,
                                           self.num_iterations)
             self._plans[self._plan_key()] = nxt
             if nxt == plan:

@@ -624,6 +624,51 @@ def delta_window_sums_patch(
                       layer_offset=layer_offset)
 
 
+def _dense_value_samples(ctx: dict, ix, iy, rel, *, res_scalar: int,
+                         apron: int, low_h: int, low_w: int, step: int,
+                         num_layers: int):
+    """Per-layer dense frame-1 samples at ONE window-constant offset (ix, iy):
+    each layer's samples are one (low_h, low_w) dynamic slice of the
+    phase-decimated planes — zero gathers. Returns (samp (L,lh,lw) i32,
+    pairs (L,lh,lw) packed u16). Shared by the uniform, mode, and
+    value-bucket tiers."""
+    rs = res_scalar
+    L = num_layers
+    a, ac = apron, apron // 2
+    P = 1 << rs
+    Pc = 1 << (rs - 1)
+    hd = ctx["dec_y"].shape[0] // (P * P)
+    hcd = ctx["dec_uv"].shape[0] // (Pc * Pc)
+
+    def y_slice(pos_y, pos_x):
+        row = ((pos_y & (P - 1)) * P + (pos_x & (P - 1))) * hd + (pos_y >> rs)
+        return jax.lax.dynamic_slice(
+            ctx["dec_y"], (row, pos_x >> rs), (low_h, low_w)).astype(jnp.int32)
+
+    def uv_slice(pos_cy, pos_cx):
+        if Pc == 1:
+            row, col = pos_cy, pos_cx
+        else:
+            row = ((pos_cy & (Pc - 1)) * Pc + (pos_cx & (Pc - 1))) * hcd \
+                + (pos_cy >> (rs - 1))
+            col = pos_cx >> (rs - 1)
+        return jax.lax.dynamic_slice(ctx["dec_uv"], (row, col), (low_h, low_w))
+
+    samp, pairs = [], []
+    for l_i in range(L):
+        rel_l = rel[l_i]
+        off_x = ix + (rel_l if step % 2 == 0 else 0)
+        off_y = iy + (rel_l if step % 2 == 1 else 0)
+        # int16 wraparound parity with the gather kernels' candidate math.
+        off_x = off_x.astype(jnp.int16).astype(jnp.int32)
+        off_y = off_y.astype(jnp.int16).astype(jnp.int32)
+        samp.append(y_slice(off_y + a, off_x + a))
+        # Chroma pairs: (even + q) >> 1 == even/2 + (q >> 1) exactly, so the
+        # uniform slice start is (off >> 1) + chroma apron (see strip twin).
+        pairs.append(uv_slice((off_y >> 1) + ac, (off_x >> 1) + ac))
+    return jnp.stack(samp), jnp.stack(pairs)
+
+
 def delta_window_sums_uniform(
     ctx: dict,
     f2y: jnp.ndarray,
@@ -662,9 +707,6 @@ def delta_window_sums_uniform(
         bias_offsets = offsets
     rs = res_scalar
     L = num_layers
-    a, ac = apron, apron // 2
-    P = 1 << rs
-    Pc = 1 << (rs - 1)
     low_h, low_w = offsets.shape[1:]
     w = window_size
 
@@ -674,37 +716,10 @@ def delta_window_sums_uniform(
     rel = flow_ops._signed_square_i16(
         ((lz % radius) - radius // 2).astype(jnp.int16)).astype(jnp.int32)
 
-    hd = ctx["dec_y"].shape[0] // (P * P)
-    hcd = ctx["dec_uv"].shape[0] // (Pc * Pc)
-
-    def y_slice(pos_y, pos_x):
-        row = ((pos_y & (P - 1)) * P + (pos_x & (P - 1))) * hd + (pos_y >> rs)
-        return jax.lax.dynamic_slice(
-            ctx["dec_y"], (row, pos_x >> rs), (low_h, low_w)).astype(jnp.int32)
-
-    def uv_slice(pos_cy, pos_cx):
-        if Pc == 1:
-            row, col = pos_cy, pos_cx
-        else:
-            row = ((pos_cy & (Pc - 1)) * Pc + (pos_cx & (Pc - 1))) * hcd \
-                + (pos_cy >> (rs - 1))
-            col = pos_cx >> (rs - 1)
-        return jax.lax.dynamic_slice(ctx["dec_uv"], (row, col), (low_h, low_w))
-
-    samp, pairs = [], []
-    for l_i in range(L):
-        rel_l = rel[l_i]
-        off_x = ix + (rel_l if step % 2 == 0 else 0)
-        off_y = iy + (rel_l if step % 2 == 1 else 0)
-        # int16 wraparound parity with the gather kernels' candidate math.
-        off_x = off_x.astype(jnp.int16).astype(jnp.int32)
-        off_y = off_y.astype(jnp.int16).astype(jnp.int32)
-        samp.append(y_slice(off_y + a, off_x + a))
-        # Chroma pairs: (even + q) >> 1 == even/2 + (q >> 1) exactly, so the
-        # uniform slice start is (off >> 1) + chroma apron (see strip twin).
-        pairs.append(uv_slice((off_y >> 1) + ac, (off_x >> 1) + ac))
-    samp = jnp.stack(samp)
-    u_s, v_s = _unpack_pairs(jnp.stack(pairs), False)
+    samp, pairs = _dense_value_samples(
+        ctx, ix, iy, rel, res_scalar=rs, apron=apron, low_h=low_h,
+        low_w=low_w, step=step, num_layers=L)
+    u_s, v_s = _unpack_pairs(pairs, False)
 
     off_x_lw, off_y_lw = _window_offsets(bias_offsets, radius, L, w, step)
     return _cost_tail(samp, u_s, v_s, f2y, f2uv, bias_offsets, off_x_lw,
@@ -779,22 +794,35 @@ def mode_tier_cap(window_size: int, low_h: int, low_w: int) -> int:
 # one. "M" = the full mode_tier_cap (the cond path's single tier).
 MODE_TIER_CAPS = {"M0": 32, "M1": 256, "M": None}
 
+# Value-bucket tier caps (delta_window_sums_values): cost is linear in the
+# STATIC cap on distinct window-offset values (cap x num_layers dense
+# slices), independent of how many windows deviate — the lever for
+# non-converged fine steps where the mode tier's deviant budget blows but
+# the VALUE diversity stays small (the neighbor bias clusters offsets).
+VALUE_TIER_CAPS = {"V0": 32, "V1": 128}
+
 
 def tier_cap(tier: str, window_size: int, low_h: int, low_w: int) -> int:
-    """Static deviant budget of a mode tier ('M0'/'M1'/'M')."""
+    """Static budget of a tier: deviant windows for 'M*', distinct offset
+    values for 'V*'."""
+    if tier in VALUE_TIER_CAPS:
+        return VALUE_TIER_CAPS[tier]
     full = mode_tier_cap(window_size, low_h, low_w)
     cap = MODE_TIER_CAPS[tier]
     return full if cap is None else min(cap, full)
 
 
-def tier_valid(tier: str, n_dev: int, window_size: int, low_h: int,
-               low_w: int) -> bool:
+def tier_valid(tier: str, n_dev: int, n_dist: int, window_size: int,
+               low_h: int, low_w: int) -> bool:
     """Was `tier` a correct choice for a step whose pre-step deviant count
-    (vs the probe-dominant offset) was n_dev? 'G' is unconditionally exact."""
+    was n_dev and distinct-value count n_dist? 'G' is unconditionally
+    exact."""
     if tier == "G":
         return True
     if tier == "U":
         return n_dev == 0
+    if tier in VALUE_TIER_CAPS:
+        return n_dist <= tier_cap(tier, window_size, low_h, low_w)
     return n_dev <= tier_cap(tier, window_size, low_h, low_w)
 
 
@@ -903,6 +931,103 @@ def _dominant_offset(packed: jnp.ndarray) -> jnp.ndarray:
     ])
     counts = jnp.sum(packed.reshape(1, -1) == probes[:, None], axis=1)
     return probes[jnp.argmax(counts)]
+
+
+def _window_value_index(packed: jnp.ndarray, cap: int):
+    """Distinct packed window-offset values, scatter-free:
+      vals    (cap,) the first `cap` distinct values ascending (tail repeats
+              the max when fewer exist),
+      val_idx (n_wy, n_wx) each window's index into vals (exact whenever
+              n_distinct <= cap),
+      n_distinct scalar.
+    Rank trick as the mode tier's deviant list: sort, boundary flags,
+    cumsum ranks, searchsorted (no scatters — PERF.md scatter cost)."""
+    flat = packed.reshape(-1)
+    srt = jnp.sort(flat)
+    is_new = jnp.concatenate([jnp.ones((1,), jnp.int32),
+                              (srt[1:] != srt[:-1]).astype(jnp.int32)])
+    ranks = jnp.cumsum(is_new) - 1                       # nondecreasing
+    n_distinct = ranks[-1] + 1
+    firsts = jnp.searchsorted(ranks, jnp.arange(cap, dtype=jnp.int32),
+                              side="left")
+    vals = srt[jnp.clip(firsts, 0, flat.shape[0] - 1)]   # (cap,) ascending
+    val_idx = jnp.clip(jnp.searchsorted(vals, flat, side="left"),
+                       0, cap - 1).reshape(packed.shape)
+    return vals, val_idx, n_distinct
+
+
+def delta_window_sums_values(
+    ctx: dict,
+    f2y: jnp.ndarray,
+    f2uv: jnp.ndarray,
+    offsets: jnp.ndarray,
+    radius: jnp.ndarray,
+    delta_scalar: jnp.ndarray,
+    neighbor_scalar: jnp.ndarray,
+    vals: jnp.ndarray,       # (cap,) from _window_value_index
+    val_idx: jnp.ndarray,    # (n_wy, n_wx)
+    *,
+    window_size: int,
+    res_scalar: int,
+    iteration: int,
+    step: int,
+    is_hdr: bool,
+    num_layers: int,
+    apron: int,
+    dim_y: int,
+    dim_x: int,
+    cap: int,
+) -> jnp.ndarray:
+    """VALUE-BUCKET tier: one dense zero-gather sample set per DISTINCT
+    window-offset value (<= cap of them), merged per pixel by each window's
+    value index — the generalization of the uniform (1 value) and mode
+    (1 value + corrections) tiers to arbitrarily scattered but value-sparse
+    offset fields (fine pyramid steps on non-converged content). Exact for
+    every window whenever n_distinct <= cap (callers validate via the sig);
+    biases/window sums ride the shared _cost_tail on the REAL offsets."""
+    assert res_scalar >= 1 and uniform_fits(
+        ctx, low_h=offsets.shape[1], low_w=offsets.shape[2],
+        res_scalar=res_scalar, apron=apron)
+    rs = res_scalar
+    L = num_layers
+    low_h, low_w = offsets.shape[1:]
+    w = window_size
+
+    lz = jnp.arange(L, dtype=jnp.int32)
+    rel = flow_ops._signed_square_i16(
+        ((lz % radius) - radius // 2).astype(jnp.int16)).astype(jnp.int32)
+
+    # Per-pixel value index (window-constant; repeat to the pixel grid).
+    idx_pix = jnp.repeat(jnp.repeat(val_idx, w, axis=0), w, axis=1)[
+        :low_h, :low_w][None]                             # (1, lh, lw)
+
+    # fori_loop, NOT a cap-unrolled python loop: unrolling cap x L dynamic
+    # slices + select chains compiles pathologically (~135 s extra for ONE
+    # V0 step on the CPU backend; worse at V1/remote-compile scale) and is
+    # the known TPU over-fusion crash shape. The while-loop carry updates in
+    # place (XLA aliases loop carries — none of lax.cond's operand-copy tax,
+    # PERF.md round 2), so runtime stays ~cap x the uniform-step cost.
+    def merge_value(k, carry):
+        samp, pairs = carry
+        vx = vals[k] >> 16
+        vy = (vals[k] << 16) >> 16                        # sign-extend low
+        s_k, p_k = _dense_value_samples(
+            ctx, vx, vy, rel, res_scalar=rs, apron=apron, low_h=low_h,
+            low_w=low_w, step=step, num_layers=L)
+        m = idx_pix == k
+        return jnp.where(m, s_k, samp), jnp.where(m, p_k, pairs)
+
+    samp, pairs = jax.lax.fori_loop(
+        0, cap, merge_value, (jnp.zeros((L, low_h, low_w), jnp.int32),
+                              jnp.zeros((L, low_h, low_w), jnp.uint16)))
+    u_s, v_s = _unpack_pairs(pairs, False)
+
+    off_x_lw, off_y_lw = _window_offsets(offsets, radius, L, w, step)
+    return _cost_tail(samp, u_s, v_s, f2y, f2uv, offsets, off_x_lw, off_y_lw,
+                      radius, delta_scalar, neighbor_scalar,
+                      window_size=w, res_scalar=rs, iteration=iteration,
+                      step=step, is_hdr=is_hdr, num_layers=L, dim_y=dim_y,
+                      dim_x=dim_x)
 
 
 def _window_list_sums(ctx, f2y, f2uv, offsets, kwy, kwx, kix, kiy, radius,
@@ -1336,36 +1461,53 @@ def default_plan(low_h: int, low_w: int, num_iterations: int = 0) -> tuple:
     return ("U",) + ("G",) * (n - 1)
 
 
-def predict_plan(ndev, low_h: int, low_w: int,
+def split_sig(sig, low_h: int, low_w: int, num_iterations: int = 0):
+    """(ndev, ndist) per-step arrays from a fetched validity sig
+    (layout: [ndev x n_steps, ndist x n_steps, completion probe])."""
+    n = len(plan_steps(low_h, low_w, num_iterations))
+    return sig[:n], sig[n:2 * n]
+
+
+def predict_plan(sig, low_h: int, low_w: int,
                  num_iterations: int = 0) -> tuple:
-    """Next-frame plan from this frame's per-step deviant counts. Chooses the
-    cheapest tier with 2x headroom over the observed count (so small
-    frame-to-frame fluctuations don't mispredict); U only at exactly zero."""
+    """Next-frame plan from this frame's validity sig. Chooses the cheapest
+    tier with headroom over the observed counts (so small frame-to-frame
+    fluctuations don't mispredict); U only at exactly zero deviants. Tier
+    cost order (chip-probed): U < M0 < M1 < V0 < M < V1 < G. ndist is only
+    measured on steps that ran V/G-strip (others report the window count =
+    "unknown"), so V is only ever entered from steps where it was actually
+    counted."""
     steps = plan_steps(low_h, low_w, num_iterations)
+    ndev, ndist = split_sig(sig, low_h, low_w, num_iterations)
     plan = []
-    for n, (_, w, _) in zip(ndev, steps):
-        n = int(n)
+    for n, d, (_, w, _) in zip(ndev, ndist, steps):
+        n, d = int(n), int(d)
         if n == 0:
             plan.append("U")
         elif 2 * n <= tier_cap("M0", w, low_h, low_w):
             plan.append("M0")
         elif 2 * n <= tier_cap("M1", w, low_h, low_w):
             plan.append("M1")
+        elif 4 * d <= 3 * tier_cap("V0", w, low_h, low_w):
+            plan.append("V0")
         elif 2 * n <= tier_cap("M", w, low_h, low_w):
             plan.append("M")
+        elif 4 * d <= 3 * tier_cap("V1", w, low_h, low_w):
+            plan.append("V1")
         else:
             plan.append("G")
     return tuple(plan)
 
 
-def first_invalid_step(plan, ndev, low_h: int, low_w: int,
+def first_invalid_step(plan, sig, low_h: int, low_w: int,
                        num_iterations: int = 0) -> int | None:
     """Index of the first step whose planned tier was wrong for the measured
-    pre-step deviant count, or None when the whole run was valid. Counts
-    AFTER the first invalid step are untrustworthy (the offsets diverged)."""
+    pre-step counts, or None when the whole run was valid. Counts AFTER the
+    first invalid step are untrustworthy (the offsets diverged)."""
     steps = plan_steps(low_h, low_w, num_iterations)
-    for i, (tier, n, (_, w, _)) in enumerate(zip(plan, ndev, steps)):
-        if not tier_valid(tier, int(n), w, low_h, low_w):
+    ndev, ndist = split_sig(sig, low_h, low_w, num_iterations)
+    for i, (tier, n, d, (_, w, _)) in enumerate(zip(plan, ndev, ndist, steps)):
+        if not tier_valid(tier, int(n), int(d), w, low_h, low_w):
             return i
     return None
 
@@ -1401,9 +1543,12 @@ def pyramid_flow_strip_planned(
     plan: tuple,
 ):
     """Statically tier-planned twin of pyramid_flow_strip (see block comment
-    above). Returns (offsets, blurred, total_delta_raw, sig) where
-    sig[:-1] = per-step pre-step deviant counts (int32; the host's validity
-    and prediction signal) and sig[-1] = a 1-element completion probe
+    above). Returns (offsets, blurred, total_delta_raw, sig) with the
+    validity sig laid out [ndev x n_steps, ndist x n_steps, probe]:
+    ndev[i] = pre-step deviant-window count vs the probe-dominant offset,
+    ndist[i] = distinct-value count (measured only on steps that ran a V
+    tier or a strip-routed G step — others report the window count =
+    "unknown"), and the final element is a 1-element completion probe
     (blurred[0,0,0]) so ONE host fetch of `sig` both validates the plan and
     forces completion for honest timing (PERF.md dispatch semantics).
 
@@ -1415,16 +1560,22 @@ def pyramid_flow_strip_planned(
     tiers_ok = uniform_fits(ctx1, low_h=low_h, low_w=low_w,
                             res_scalar=res_scalar, apron=apron)
     assert tiers_ok or all(t == "G" for t in plan), \
-        "U/M tiers need a low_dims-padded context (uniform_fits)"
+        "U/M/V tiers need a low_dims-padded context (uniform_fits)"
 
     offsets = jnp.zeros((2, low_h, low_w), dtype=jnp.int16)
     total_delta_raw = jnp.uint32(0)
-    ndevs = []
+    ndevs, ndists = [], []
     for tier, (iteration, window, step) in zip(plan, steps):
         kw = dict(window_size=window, res_scalar=res_scalar,
                   iteration=iteration, step=step, is_hdr=is_hdr,
                   num_layers=num_layers, apron=apron,
                   dim_y=dim_y, dim_x=dim_x)
+        n_wy = -(-low_h // window)
+        n_wx = -(-low_w // window)
+        n_desc = num_layers * n_wy * n_wx
+        strip_routed = not (n_desc <= 4096 and patch_fits(
+            ctx1, low_h=low_h, low_w=low_w, window=window,
+            res_scalar=res_scalar, apron=apron))
         # Pre-step deviant count vs the probe-dominant offset — always
         # computed (a few vector ops on the window grid): it validates THIS
         # step's tier and predicts the next frame's.
@@ -1434,6 +1585,19 @@ def pyramid_flow_strip_planned(
         n_dev = jnp.sum((win_pk != _dominant_offset(win_pk))
                         .astype(jnp.int32))
         ndevs.append(n_dev)
+        # Distinct-value count: a sort of the window grid — only worth paying
+        # where a V tier could matter (it runs V, or the step is an expensive
+        # strip-routed gather the predictor might demote to V).
+        count_dist = tier in VALUE_TIER_CAPS or (tier == "G" and strip_routed
+                                                 and tiers_ok)
+        if count_dist:
+            vcap = tier_cap(tier, window, low_h, low_w) \
+                if tier in VALUE_TIER_CAPS else max(VALUE_TIER_CAPS.values())
+            vals, val_idx, n_distinct = _window_value_index(win_pk, vcap)
+            ndists.append(n_distinct)
+        else:
+            vals = val_idx = None
+            ndists.append(jnp.int32(n_wy * n_wx))
 
         if tier == "U":
             sums = delta_window_sums_uniform(
@@ -1444,14 +1608,15 @@ def pyramid_flow_strip_planned(
                 ctx1, f2y, f2uv, offsets, radius, delta_scalar,
                 neighbor_scalar, cap=tier_cap(tier, window, low_h, low_w),
                 **kw)
+        elif tier in VALUE_TIER_CAPS:
+            sums = delta_window_sums_values(
+                ctx1, f2y, f2uv, offsets, radius, delta_scalar,
+                neighbor_scalar, vals, val_idx,
+                cap=tier_cap(tier, window, low_h, low_w), **kw)
         else:
             assert tier == "G", tier
-            n_desc = num_layers * -(-low_h // window) * -(-low_w // window)
-            use_patch = n_desc <= 4096 and patch_fits(
-                ctx1, low_h=low_h, low_w=low_w, window=window,
-                res_scalar=res_scalar, apron=apron)
-            kernel = (delta_window_sums_patch if use_patch
-                      else delta_window_sums_strip)
+            kernel = (delta_window_sums_strip if strip_routed
+                      else delta_window_sums_patch)
             sums = kernel(ctx1, f2y, f2uv, offsets, radius, delta_scalar,
                           neighbor_scalar, **kw)
 
@@ -1468,6 +1633,7 @@ def pyramid_flow_strip_planned(
     blurred = flow_ops.blur_flow(offsets)
     sig = jnp.concatenate([
         jnp.stack(ndevs),
+        jnp.stack(ndists),
         blurred[0, 0, 0].astype(jnp.int32)[None],
     ])
     return offsets, blurred, total_delta_raw, sig

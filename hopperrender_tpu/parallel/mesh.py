@@ -69,8 +69,8 @@ def pyramid_flow_strip_sharded(
     tiers_ok = flow_strip.uniform_fits(
         ctx1, low_h=low_h, low_w=low_w, res_scalar=res_scalar, apron=apron)
     assert tiers_ok or all(t == "G" for t in plan), \
-        "U/M tiers need a low_dims-padded context (uniform_fits)"
-    ndevs = []
+        "U/M/V tiers need a low_dims-padded context (uniform_fits)"
+    ndevs, ndists = [], []
 
     for tier, (iteration, window, step) in zip(plan, steps):
         n_wy = -(-low_h // window)
@@ -79,12 +79,28 @@ def pyramid_flow_strip_sharded(
         kw = dict(window_size=window, res_scalar=res_scalar,
                   iteration=iteration, step=step, is_hdr=is_hdr,
                   apron=apron, dim_y=dim_y, dim_x=dim_x)
+        fits = flow_strip.patch_fits(
+            ctx1, low_h=low_h, low_w=low_w, window=window,
+            res_scalar=res_scalar, apron=apron)
+        strip_routed = not (fits and n_desc <= 4096)
         win_pk = ((offsets[0, ::window, ::window].astype(jnp.int32) << 16)
                   | (offsets[1, ::window, ::window].astype(jnp.int32)
                      & 0xFFFF))
         n_dev = jnp.sum((win_pk != flow_strip._dominant_offset(win_pk))
                         .astype(jnp.int32))
         ndevs.append(n_dev)
+        count_dist = tier in flow_strip.VALUE_TIER_CAPS or (
+            tier == "G" and strip_routed and tiers_ok)
+        if count_dist:
+            vcap = flow_strip.tier_cap(tier, window, low_h, low_w) \
+                if tier in flow_strip.VALUE_TIER_CAPS \
+                else max(flow_strip.VALUE_TIER_CAPS.values())
+            vals, val_idx, n_distinct = flow_strip._window_value_index(
+                win_pk, vcap)
+            ndists.append(n_distinct)
+        else:
+            vals = val_idx = None
+            ndists.append(jnp.int32(n_wy * n_wx))
         if tier == "U":
             sums = flow_strip.delta_window_sums_uniform(
                 ctx1, f2y, f2uv, offsets, radius, delta_scalar,
@@ -94,12 +110,14 @@ def pyramid_flow_strip_sharded(
                 ctx1, f2y, f2uv, offsets, radius, delta_scalar,
                 neighbor_scalar, num_layers=L,
                 cap=flow_strip.tier_cap(tier, window, low_h, low_w), **kw)
+        elif tier in flow_strip.VALUE_TIER_CAPS:
+            sums = flow_strip.delta_window_sums_values(
+                ctx1, f2y, f2uv, offsets, radius, delta_scalar,
+                neighbor_scalar, vals, val_idx, num_layers=L,
+                cap=flow_strip.tier_cap(tier, window, low_h, low_w), **kw)
         else:
             assert tier == "G", tier
-            fits = flow_strip.patch_fits(
-                ctx1, low_h=low_h, low_w=low_w, window=window,
-                res_scalar=res_scalar, apron=apron)
-            if fits and n_desc <= 4096:
+            if not strip_routed:
                 # Coarse: layer sharding (pad layers to the shard count).
                 l_loc = -(-L // num_shards)
                 sums_local = flow_strip.delta_window_sums_patch(
@@ -128,7 +146,7 @@ def pyramid_flow_strip_sharded(
         offsets = jax.lax.optimization_barrier(offsets)
 
     blurred = flow_ops.blur_flow(offsets)
-    sig = jnp.concatenate([jnp.stack(ndevs),
+    sig = jnp.concatenate([jnp.stack(ndevs), jnp.stack(ndists),
                            blurred[0, 0, 0].astype(jnp.int32)[None]])
     return offsets, blurred, total_delta_raw, sig
 

@@ -50,6 +50,10 @@ def main() -> None:
     print(f"estimate_hbm_bytes({name}) = {est / 1e9:.3f} GB")
 
     eng = flow_engine.OpticalFlowEngine(h, w, is_hdr=is_hdr)
+    # Stream at MAX radius so the engine's contexts are built at the same
+    # worst-case bucket/apron the pre-check formula assumes.
+    from hopperrender_tpu import config as hcfg
+    eng.search_radius = hcfg.MAX_SEARCH_RADIUS
     rng = np.random.default_rng(0)
     for i in range(3):
         y, uv = nv12.synthetic_frame(rng, h, w, is_hdr=is_hdr,
@@ -59,10 +63,30 @@ def main() -> None:
     y, uv = eng.warp_frames(0.5, 2)
     int(np.asarray(uv[:1, :1]))  # force completion
 
+    # Live-array ledger: every persistent device array the engine holds
+    # (frame ring, flow/warp contexts, flow double buffer). Validates the
+    # formula's persistent terms on backends whose allocator stats are hidden
+    # (the tunneled axon plugin returns none).
+    import jax as _jax
+    ledger = 0
+    for tree in (eng._frames_y, eng._frames_uv, eng._ctxs, eng._wctxs,
+                 eng._blurred):
+        for leaf in _jax.tree.leaves(tree):
+            if hasattr(leaf, "nbytes"):
+                ledger += leaf.nbytes
+    persistent_est = est - flow_engine._working_bytes(h, w, is_hdr=is_hdr)
+    ratio_l = persistent_est / max(1, ledger)
+    print(f"live persistent arrays (ring + contexts + flows): "
+          f"{ledger / 1e6:.1f} MB; formula persistent terms "
+          f"{persistent_est / 1e6:.1f} MB; ratio {ratio_l:.2f} "
+          f"({'OK' if 0.75 <= ratio_l <= 1.33 else 'DRIFTED'} — persistent "
+          f"terms should track the ledger within ~25%)")
+
     s1 = stats(dev)
     if not s1:
-        print("RESULT: allocator stats unavailable on this backend; formula "
-              "unvalidated here (run on a direct-attached chip).")
+        print("RESULT: allocator stats unavailable on this backend; peak "
+              "(working-set) term unvalidated here — persistent terms "
+              "validated against the live-array ledger above.")
         return
     used = s1.get("bytes_in_use", 0) - base
     peak = s1.get("peak_bytes_in_use", 0)

@@ -57,6 +57,19 @@ def chain(salt, *, k: int):
         m = r2.random((n_wy, n_wx)) < 0.04
         dev = np.repeat(np.repeat(m, window, 0), window, 1)[:low_h, :low_w]
         off0[0][dev] = -5
+    if variant.startswith("values"):
+        # Scattered offsets drawn from `cap` distinct values everywhere (the
+        # non-converged fine-step regime the V tier targets). Variant name
+        # selects the cap: values32 / values128.
+        vcap = int(variant[len("values"):] or 32)
+        r2 = np.random.default_rng(7)
+        n_wy, n_wx = -(-low_h // window), -(-low_w // window)
+        pool = np.stack([r2.integers(-6, 7, vcap), r2.integers(-6, 7, vcap)])
+        pool[:, 0] = 3  # keep value 0 == the uniform fill
+        pick = r2.integers(0, vcap, (n_wy, n_wx))
+        grid = pool[:, pick].astype(np.int16)
+        off0 = np.repeat(np.repeat(grid, window, 1), window, 2)[
+            :, :low_h, :low_w].copy()
     off = jnp.asarray(off0)
     for i in range(k):
         off = off + (acc % 2).astype(jnp.int16)
@@ -136,6 +149,18 @@ def chain(salt, *, k: int):
                 jnp.int32(8), jnp.int32(6), window_size=window, res_scalar=rs,
                 iteration=7, step=0, is_hdr=True, num_layers=bucket,
                 dim_y=H, dim_x=W)
+        elif variant.startswith("values"):
+            # Full V-step cost: value index (sort/rank/searchsorted) + the
+            # cap dense sample sets + merges, as pyramid_flow_strip_planned
+            # pays it.
+            vcap = int(variant[len("values"):] or 32)
+            win_pk = ((off[0, ::window, ::window].astype(jnp.int32) << 16)
+                      | (off[1, ::window, ::window].astype(jnp.int32)
+                         & 0xFFFF))
+            vals, val_idx, _ = flow_strip._window_value_index(win_pk, vcap)
+            sums = flow_strip.delta_window_sums_values(
+                ctx, f2y, f2uv, off, jnp.int32(radius), jnp.int32(8),
+                jnp.int32(6), vals, val_idx, cap=vcap, **kw)
         else:
             sums = kern[variant](ctx, f2y, f2uv, off, jnp.int32(radius),
                                  jnp.int32(8), jnp.int32(6), **kw)

@@ -61,11 +61,11 @@ def test_all_gather_plan_matches_reference(rng, is_hdr):
     np.testing.assert_array_equal(np.asarray(off), np.asarray(w_off))
     np.testing.assert_array_equal(np.asarray(blur), np.asarray(w_blur))
     assert int(raw) == int(w_raw)
-    assert sig.shape == (n + 1,)
+    assert sig.shape == (2 * n + 1,)  # [ndev, ndist, completion probe]
     # Iteration-0 step-0 always starts from zeroed offsets => 0 deviants.
     assert int(sig[0]) == 0
     # G plans are valid on any content.
-    assert flow_strip.first_invalid_step(plan, np.asarray(sig)[:-1],
+    assert flow_strip.first_invalid_step(plan, np.asarray(sig),
                                          low_h, low_w) is None
 
 
@@ -80,8 +80,8 @@ def test_predicted_plan_is_valid_and_bit_exact_on_pan(rng):
     n = len(flow_strip.plan_steps(low_h, low_w))
     ref = run_planned(ctx, f2y, f2uv, ("G",) * n, low_h=low_h, low_w=low_w,
                       rs=rs, is_hdr=False, apron=apron, h=h, w=w)
-    ndev = np.asarray(ref[3])[:-1]
-    plan = flow_strip.predict_plan(ndev, low_h, low_w)
+    sig = np.asarray(ref[3])
+    plan = flow_strip.predict_plan(sig, low_h, low_w)
     assert plan[0] == "U"
     assert any(t != "G" for t in plan[1:])  # dense tiers actually engage
     got = run_planned(ctx, f2y, f2uv, plan, low_h=low_h, low_w=low_w,
@@ -90,11 +90,12 @@ def test_predicted_plan_is_valid_and_bit_exact_on_pan(rng):
     np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(ref[0]))
     np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
     assert int(got[2]) == int(ref[2])
-    got_ndev = np.asarray(got[3])[:-1]
-    np.testing.assert_array_equal(got_ndev, ndev)  # valid plans: same counts
-    assert flow_strip.first_invalid_step(plan, got_ndev, low_h, low_w) is None
+    got_sig = np.asarray(got[3])
+    nn = len(plan)
+    np.testing.assert_array_equal(got_sig[:nn], sig[:nn])  # same dev counts
+    assert flow_strip.first_invalid_step(plan, got_sig, low_h, low_w) is None
     # Prediction is a fixed point on identical content.
-    assert flow_strip.predict_plan(got_ndev, low_h, low_w) == plan
+    assert flow_strip.predict_plan(got_sig, low_h, low_w) == plan
 
 
 def test_mispredict_detected_and_repaired(rng):
@@ -109,8 +110,8 @@ def test_mispredict_detected_and_repaired(rng):
     bad_plan = ("U",) * n
     out = run_planned(ctx, f2y, f2uv, bad_plan, low_h=low_h, low_w=low_w,
                       rs=rs, is_hdr=False, apron=apron, h=h, w=w)
-    ndev = np.asarray(out[3])[:-1]
-    bad = flow_strip.first_invalid_step(bad_plan, ndev, low_h, low_w)
+    bad = flow_strip.first_invalid_step(bad_plan, np.asarray(out[3]),
+                                        low_h, low_w)
     assert bad is not None and bad >= 1  # step 0 is provably uniform
     fixed = flow_strip.repair_plan(bad_plan, bad)
     assert fixed[:bad] == bad_plan[:bad] and set(fixed[bad:]) == {"G"}
@@ -122,7 +123,7 @@ def test_mispredict_detected_and_repaired(rng):
     np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
     # The repaired plan itself validates.
     assert flow_strip.first_invalid_step(
-        fixed, np.asarray(got[3])[:-1], low_h, low_w) is None
+        fixed, np.asarray(got[3]), low_h, low_w) is None
 
 
 def test_graduated_mode_caps_bit_exact(rng):
@@ -152,6 +153,43 @@ def test_graduated_mode_caps_bit_exact(rng):
             *args, cap=flow_strip.tier_cap(tier, window, low_h, low_w), **kw)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want),
                                       err_msg=f"tier {tier}")
+
+
+@pytest.mark.parametrize("step", [0, 1])
+@pytest.mark.parametrize("tier", ["V0", "V1"])
+def test_value_tier_matches_strip(rng, tier, step):
+    """The value-bucket tier equals the exact strip kernel whenever the
+    distinct-value count fits its cap — scattered multi-valued offsets, not
+    just dominant+corrections."""
+    h, w, rs, low_h, low_w = 64, 96, 2, 16, 24
+    f1y, f1uv = make_frame(rng, h, w)
+    f2y, f2uv = make_frame(rng, h, w)
+    apron = flow_strip.apron_for(low_h, low_w)
+    ctx = full_ctx(f1y, f1uv, apron, False, rs, (low_h, low_w))
+    window, iteration = 2, 5
+    n_wy, n_wx = low_h // window, low_w // window
+    # 12 distinct values scattered over the window grid.
+    pool = np.array([[0, 0], [4, -4], [9, 1], [-1, -9], [16, 16], [-16, 4],
+                     [1, 0], [0, 1], [25, -25], [-4, -4], [9, 9], [2, -2]],
+                    np.int16)
+    pick = rng.integers(0, len(pool), (n_wy, n_wx))
+    grid = pool[pick].transpose(2, 0, 1)
+    offsets = np.repeat(np.repeat(grid, window, 1), window, 2)
+    args = (ctx, jnp.asarray(f2y), jnp.asarray(f2uv), jnp.asarray(offsets),
+            jnp.int32(9), jnp.int32(8), jnp.int32(6))
+    kw = dict(window_size=window, res_scalar=rs, iteration=iteration,
+              step=step, is_hdr=False, num_layers=16, apron=apron,
+              dim_y=h, dim_x=w)
+    want = flow_strip.delta_window_sums_strip(*args, **kw)
+    packed = ((grid[0].astype(np.int32) << 16)
+              | (grid[1].astype(np.int32) & 0xFFFF))
+    cap = flow_strip.tier_cap(tier, window, low_h, low_w)
+    vals, val_idx, n_dist = flow_strip._window_value_index(
+        jnp.asarray(packed), cap)
+    assert int(n_dist) == len(np.unique(packed)) <= cap
+    got = flow_strip.delta_window_sums_values(*args, vals, val_idx,
+                                              cap=cap, **kw)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
 def test_engine_planned_matches_gather_stream(rng):

@@ -138,7 +138,7 @@ def test_multichip_planned_tiers_match_single_device(rng, sp):
     base = flow_strip.pyramid_flow_strip_planned(
         ctx1, jnp.asarray(f2[0]), jnp.asarray(f2[1]), radius, dsc, nsc,
         num_layers=16, plan=("G",) * n, **kw)
-    plan = flow_strip.predict_plan(np.asarray(base[3])[:-1], low_h, low_w)
+    plan = flow_strip.predict_plan(np.asarray(base[3]), low_h, low_w)
     assert any(t != "G" for t in plan) and any(t == "G" for t in plan), plan
     want = flow_strip.pyramid_flow_strip_planned(
         ctx1, jnp.asarray(f2[0]), jnp.asarray(f2[1]), radius, dsc, nsc,
