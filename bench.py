@@ -70,7 +70,8 @@ def main() -> None:
     ap.add_argument("--streams", type=int, default=1)
     ap.add_argument("--k1", type=int, default=1)
     ap.add_argument("--k2", type=int, default=3)
-    ap.add_argument("--warp", default="auto", choices=("auto", "band", "strip"))
+    ap.add_argument("--warp", default="auto",
+                    choices=("auto", "band", "strip", "gather"))
     ap.add_argument("--content", default="pan", choices=("pan", "noise"))
     ap.add_argument("--flow-content", default="pan", choices=("pan", "random"))
     ap.add_argument("--json-only", action="store_true")
@@ -120,6 +121,9 @@ def main() -> None:
         engine.use_warp_band = False
     elif args.warp == "band" and engine.use_warp_strips:
         engine.use_warp_band = True
+    elif args.warp == "gather":
+        engine.use_warp_band = False
+        engine.use_warp_strips = False
 
     def slope_ms(chain, k1, k2, reps=2):
         salt = 0
@@ -165,6 +169,9 @@ def main() -> None:
             engine.use_warp_band = False
         elif args.warp == "band" and engine.use_warp_strips:
             engine.use_warp_band = True
+        elif args.warp == "gather":
+            engine.use_warp_band = False
+            engine.use_warp_strips = False
 
         @functools.partial(jax.jit, static_argnames=("k",))
         def flow_chain(salt, *, k: int):

@@ -117,7 +117,8 @@ def _pack_u32(plane: jnp.ndarray, per32: int, min_w32: int,
 
 
 def _fast_tables(r, p, q, *, cell: int, per32: int, cb: int, cps: int,
-                 band_rows: int, n_tiles: int, cpt: int, c32_alloc: int):
+                 band_rows: int, n_tiles: int, cpt: int, c32_alloc: int,
+                 res_v: int = RES_V, res_h: int = RES_H):
     """Fast-path residual maps + per-subtile scalars for one source/plane.
 
     r, p, q: per-cell (n_cellrows, n_cellcols_padded) tables — band-relative
@@ -153,10 +154,10 @@ def _fast_tables(r, p, q, *, cell: int, per32: int, cb: int, cps: int,
     max_u = u_g.max(axis=(1, 4))
 
     rab = (min_r >> 3) << 3
-    ok_v = (max_r - rab) < RES_V
+    ok_v = (max_r - rab) < res_v
     bl = jnp.clip(min_u & ~127, 0, c32_alloc - WW)
     ramt = min_u - bl
-    ok_h = (ramt >= 0) & (ramt < 128) & ((max_u - min_u) < RES_H - 1)
+    ok_h = (ramt >= 0) & (ramt < 128) & ((max_u - min_u) < res_h - 1)
     # Row window bound: the kernel loads at cr8*8 + rab for RV rows; the band
     # scratch has band_rows + 2a + RV rows, and rab <= 2a, cr8*8 <= band_rows-8.
     ok = ok_v & ok_h
@@ -175,8 +176,8 @@ def _fast_tables(r, p, q, *, cell: int, per32: int, cb: int, cps: int,
             jnp.repeat(base, sub_per, axis=0)[:, :, :, None],
             (n_cr, n_tiles, n_sub, cps)).reshape(n_cr, n_cc)
 
-    dyr = jnp.clip(r - per_cell(rab), 0, RES_V - 1)
-    xr = jnp.clip(u - per_cell(min_u), 0, RES_H - 2)
+    dyr = jnp.clip(r - per_cell(rab), 0, res_v - 1)
+    xr = jnp.clip(u - per_cell(min_u), 0, res_h - 2)
     mcell = dyr | (xr << 5) | (sub << 10) | (q << 15)
     # Expand per-cell -> per-lane (each cell owns cb consecutive lanes).
     fmap = jnp.repeat(mcell, cb, axis=1)
@@ -187,6 +188,7 @@ def _merge_cells_kernel(
     *, cell: int, per32: int, cb: int, band_rows: int, a_rows: int,
     c32: int, c32_alloc: int, tile_w32: int, mode: int, is_hdr: bool,
     is_uv: bool, n_par: int, cpt: int, nk: int, xdiv8: int, sdiv8: int,
+    res_v: int = RES_V, res_h: int = RES_H,
 ):
     """Kernel factory. Refs:
       disp_ref  SMEM (1, 8, cpb*cpt*nk/8) int32, flattened per-cell records of
@@ -333,13 +335,14 @@ def _merge_cells_kernel(
                 xr0 = (m >> 5) & 31
                 sub = ((m >> 10) & 31).astype(U32)
                 cur = jnp.zeros((8, 128), U32)
+                rv = res_v + 8    # rows per fast window (scratch slack is RV)
                 for qp in range(n_par):
-                    w = band[qp, pl.ds(ro, RV), pl.ds(bl, WW)]
+                    w = band[qp, pl.ds(ro, rv), pl.ds(bl, WW)]
                     w = pltpu.roll(w, jnp.remainder(-ramt, WW), axis=1)
-                    xrw = jnp.broadcast_to(xr0[:1], (RV, 128))
-                    h0 = jnp.zeros((RV, 128), U32)
-                    h1 = jnp.zeros((RV, 128), U32) if per32 > 1 else None
-                    for s in range(RES_H):
+                    xrw = jnp.broadcast_to(xr0[:1], (rv, 128))
+                    h0 = jnp.zeros((rv, 128), U32)
+                    h1 = jnp.zeros((rv, 128), U32) if per32 > 1 else None
+                    for s in range(res_h):
                         hm = xrw == s
                         h0 = jnp.where(hm, w[:, s:s + 128], h0)
                         if per32 > 1:
@@ -347,16 +350,16 @@ def _merge_cells_kernel(
                     if per32 > 1:
                         sh = U32(fbits) * sub
                         sh2 = (U32(32) - sh) & U32(31)
-                        hw = jnp.broadcast_to(sub[:1], (RV, 128))
+                        hw = jnp.broadcast_to(sub[:1], (rv, 128))
                         hh = jnp.where(hw == 0, h0,
                                        (h0 >> jnp.broadcast_to(sh[:1],
-                                                               (RV, 128)))
+                                                               (rv, 128)))
                                        | (h1 << jnp.broadcast_to(sh2[:1],
-                                                                 (RV, 128))))
+                                                                 (rv, 128))))
                     else:
                         hh = h0
                     v = jnp.zeros((8, 128), U32)
-                    for s in range(RES_V):
+                    for s in range(res_v):
                         v = jnp.where(dyr == s, hh[s:s + 8], v)
                     if n_par > 1:
                         qm = (m >> 15) & 1
@@ -429,7 +432,8 @@ def _merge_cells_kernel(
 
 def _band_call(disp, fscal, fs, lev, fmap, src12, src21, *, cell,
                per32, cb, band_rows, a_rows, c32, c32_alloc, tile_w32, n_tiles,
-               out_rows, mode, is_hdr, is_uv, n_par, interpret):
+               out_rows, mode, is_hdr, is_uv, n_par, interpret,
+               res_v=RES_V, res_h=RES_H):
     n_bands = -(-out_rows // band_rows)
     cpb, cpt, k = disp.shape[2:]
     xdiv8 = cpb * cpt * k // 8
@@ -440,7 +444,7 @@ def _band_call(disp, fscal, fs, lev, fmap, src12, src21, *, cell,
         cell=cell, per32=per32, cb=cb, band_rows=band_rows, a_rows=a_rows,
         c32=c32, c32_alloc=c32_alloc, tile_w32=tile_w32, mode=mode,
         is_hdr=is_hdr, is_uv=is_uv, n_par=n_par, cpt=cpt, nk=k, xdiv8=xdiv8,
-        sdiv8=sdiv8)
+        sdiv8=sdiv8, res_v=res_v, res_h=res_h)
     disp = disp.reshape(disp.shape[0], disp.shape[1] * 8, xdiv8)
     # fscal: (n_gr_total, n_tiles, n_sub, 2) -> (nb, nt*8, sdiv8)
     n_sub = tile_w32 // 128
@@ -519,7 +523,8 @@ def band_geometry_ok(*, res_scalar: int, is_hdr: bool, dim_y: int, dim_x: int,
 
 @functools.partial(
     jax.jit, static_argnames=("res_scalar", "mode", "is_hdr", "dim_y", "dim_x",
-                              "apron", "interpret", "vmem_budget"),
+                              "apron", "interpret", "vmem_budget",
+                              "chain_bounds"),
 )
 def warp_frame_band(
     wctx12: dict, wctx21: dict,
@@ -528,10 +533,23 @@ def warp_frame_band(
     *,
     res_scalar: int, mode: int, is_hdr: bool, dim_y: int, dim_x: int,
     apron: int, interpret: bool = False, vmem_budget: int = 10 << 20,
+    chain_bounds: tuple = (RES_V, RES_H),
 ):
     """Pallas twin of warp_strip.warp_frame_strip (identical outputs) for modes
-    0/1/2. Consumes the same per-frame warp contexts."""
+    0/1/2. Consumes the same per-frame warp contexts.
+
+    chain_bounds = (res_v, res_h) sets the fast path's per-subtile residual
+    bounds and therefore its select-chain lengths. OUTPUTS ARE IDENTICAL for
+    any bounds — the per-subtile certificate is computed against the active
+    bounds, so tighter bounds only route more subtiles to the per-cell slow
+    path. (8, 8) roughly halves fast-subtile VPU work and is exact-hit on
+    converged (near-uniform, blurred) flow; (16, 16) certifies wider in-tile
+    spreads. Hosts pick per frame from the previous flow's spread (the same
+    speculate-and-verify pattern as the flow tier plan)."""
     assert mode in (0, 1, 2)
+    res_v, res_h = chain_bounds
+    assert res_v in (8, 16) and res_h in (8, 16), chain_bounds
+    assert res_v <= RES_V and res_h <= RES_H  # scratch slack is RV-sized
     rs = res_scalar
     a = apron
     low_h, low_w = flow.shape[1:]
@@ -583,11 +601,11 @@ def warp_frame_band(
     fm12, fsc12 = _fast_tables(
         dispY[..., 0], dispY[..., 1], None, cell=cell, per32=per32, cb=cb,
         cps=cps, band_rows=band_rows, n_tiles=n_tiles, cpt=cpt,
-        c32_alloc=c32_alloc)
+        c32_alloc=c32_alloc, res_v=res_v, res_h=res_h)
     fm21, fsc21 = _fast_tables(
         dispY[..., 2], dispY[..., 3], None, cell=cell, per32=per32, cb=cb,
         cps=cps, band_rows=band_rows, n_tiles=n_tiles, cpt=cpt,
-        c32_alloc=c32_alloc)
+        c32_alloc=c32_alloc, res_v=res_v, res_h=res_h)
     fscY = jnp.stack([fsc12, fsc21], axis=-1)
     fmY = fm12 | (fm21 << 16)      # both sources' 16-bit maps in one i32
     dispY = (dispY.reshape(nb_y, cpb, n_tiles, cpt, 4)
@@ -602,7 +620,7 @@ def warp_frame_band(
         per32=per32, cb=cb, band_rows=band_rows, a_rows=a, c32=c32,
         c32_alloc=c32_alloc, tile_w32=tile_w32, n_tiles=n_tiles,
         out_rows=dim_y, mode=mode, is_hdr=is_hdr, is_uv=False, n_par=1,
-        interpret=interpret)
+        interpret=interpret, res_v=res_v, res_h=res_h)
     y = jax.lax.bitcast_convert_type(outy, dtype).reshape(
         outy.shape[0], -1)[:dim_y, :dim_x]
 
@@ -645,11 +663,11 @@ def warp_frame_band(
     fmc12, fscc12 = _fast_tables(
         dispC[..., 0], dispC[..., 1], dispC[..., 4], cell=cell, per32=per32c,
         cb=cbc, cps=cpsc, band_rows=band_c, n_tiles=n_tiles_c, cpt=cptc,
-        c32_alloc=c32c_alloc)
+        c32_alloc=c32c_alloc, res_v=res_v, res_h=res_h)
     fmc21, fscc21 = _fast_tables(
         dispC[..., 2], dispC[..., 3], dispC[..., 5], cell=cell, per32=per32c,
         cb=cbc, cps=cpsc, band_rows=band_c, n_tiles=n_tiles_c, cpt=cptc,
-        c32_alloc=c32c_alloc)
+        c32_alloc=c32c_alloc, res_v=res_v, res_h=res_h)
     fscC = jnp.stack([fscc12, fscc21], axis=-1)
     fmC = fmc12 | (fmc21 << 16)
     dispC = (dispC.reshape(nb_c, cpbc, n_tiles_c, cptc, 6)
@@ -673,7 +691,7 @@ def warp_frame_band(
         per32=per32c, cb=cbc, band_rows=band_c, a_rows=ac, c32=c32c,
         c32_alloc=c32c_alloc, tile_w32=tile_w32c, n_tiles=n_tiles_c,
         out_rows=h2, mode=mode, is_hdr=is_hdr, is_uv=True, n_par=2,
-        interpret=interpret)
+        interpret=interpret, res_v=res_v, res_h=res_h)
     pair_dtype = jnp.uint32 if is_hdr else jnp.uint16
     pairs = jax.lax.bitcast_convert_type(outc, pair_dtype)
     pairs = pairs.reshape(outc.shape[0], -1)[:h2, :dim_x // 2]

@@ -30,7 +30,12 @@ else:
     flow0 = jnp.asarray(rng.integers(-12, 13, (2, low_h, low_w)).astype(np.int16))
 white = 65280.0 if is_hdr else 255.0
 salt_dtype = jnp.uint16 if is_hdr else jnp.uint8
-fn = warp_band.warp_frame_band if which == "band" else warp_strip.warp_frame_strip
+if which.startswith("band"):
+    # "band" = default (16,16) chains; "band8" = (8,8) short chains.
+    bounds = (8, 8) if which == "band8" else (16, 16)
+    fn = functools.partial(warp_band.warp_frame_band, chain_bounds=bounds)
+else:
+    fn = warp_strip.warp_frame_strip
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def chain(salt, *, k: int):

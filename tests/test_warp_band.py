@@ -24,14 +24,15 @@ def build_inputs(rng, h, w, rs, is_hdr, apron, max_mag):
     return c1, c2, jnp.asarray(flow)
 
 
-def run_both(c1, c2, flow, t, black, white, *, rs, mode, is_hdr, h, w, apron):
+def run_both(c1, c2, flow, t, black, white, *, rs, mode, is_hdr, h, w, apron,
+             chain_bounds=(16, 16)):
     ys, uvs = warp_strip.warp_frame_strip(
         c1, c2, flow, jnp.float32(t), jnp.float32(black), jnp.float32(white),
         res_scalar=rs, mode=mode, is_hdr=is_hdr, dim_y=h, dim_x=w, apron=apron)
     yb, uvb = warp_band.warp_frame_band(
         c1, c2, flow, jnp.float32(t), jnp.float32(black), jnp.float32(white),
         res_scalar=rs, mode=mode, is_hdr=is_hdr, dim_y=h, dim_x=w, apron=apron,
-        interpret=True)
+        interpret=True, chain_bounds=chain_bounds)
     return (np.asarray(ys), np.asarray(uvs)), (np.asarray(yb), np.asarray(uvb))
 
 
@@ -169,3 +170,32 @@ def test_fast_tables_certify_smooth_flow():
         per32=per32, cb=cb, cps=cps, band_rows=64, n_tiles=n_tiles, cpt=cpt,
         c32_alloc=1024)
     assert not bool((np.asarray(fscal2) < 0).all())
+
+
+@pytest.mark.parametrize("is_hdr", [False, True])
+@pytest.mark.parametrize("flavor", ["smooth", "scattered", "mixed"])
+def test_band_short_chain_bounds_match_strip(rng, is_hdr, flavor):
+    """(8,8) chain bounds: identical outputs on every flow — the per-subtile
+    certificate is computed against the active bounds, so tighter bounds only
+    reroute subtiles to the per-cell slow path (never wrong pixels). Covers
+    all-fast (uniform flow), all-slow (scattered), and the mixed boundary."""
+    h, w, rs, apron = 64, 128, 2, 32
+    low_h, low_w = h >> rs, w >> rs
+    c1, c2, _ = build_inputs(rng, h, w, rs, is_hdr, apron, max_mag=1)
+    if flavor == "smooth":
+        flow = np.broadcast_to(np.array([7, -5], np.int16)[:, None, None],
+                               (2, low_h, low_w)).copy()
+    elif flavor == "scattered":
+        flow = rng.integers(-25, 26, (2, low_h, low_w)).astype(np.int16)
+    else:  # spread just beyond 8: fails (8,8) certs, passes (16,16) ones
+        base = np.array([3, 2], np.int16)[:, None, None]
+        jit8 = rng.integers(0, 2, (2, low_h, low_w)).astype(np.int16) * 9
+        flow = (base + jit8).astype(np.int16)
+    flow = jnp.asarray(flow)
+    black, white = 16.0, 235.0
+    (ys, uvs), (yb, uvb) = run_both(c1, c2, flow, 0.375, black, white,
+                                    rs=rs, mode=2, is_hdr=is_hdr,
+                                    h=h, w=w, apron=apron,
+                                    chain_bounds=(8, 8))
+    np.testing.assert_array_equal(yb, ys)
+    np.testing.assert_array_equal(uvb, uvs)
