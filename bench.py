@@ -162,7 +162,7 @@ def main() -> None:
                 print(f"  radius {radius} settled tier plan: "
                       f"{''.join(t if len(t) == 1 else t.lower() for t in plan)}",
                       file=sys.stderr)
-        flow_unit, warp_unit = engine.bench_units()
+        flow_unit, warp_unit, wctx_unit = engine.bench_units()
         # Re-apply the kernel override (bench_units re-derives band routing
         # when the apron changes with the radius bucket).
         if args.warp == "strip":
@@ -187,30 +187,47 @@ def main() -> None:
 
         @functools.partial(jax.jit, static_argnames=("k",))
         def warp_chain(salt, *, k: int):
-            # Warp contexts are built IN-CHAIN (building once and passing device
-            # pytrees as arguments measures pathologically on this platform); the
-            # slope therefore includes one pair of warp-context builds per warp —
-            # a conservative overcount (the engine builds them once per SOURCE
-            # frame, see bench_units docstring).
+            # Warp contexts are built in-chain from LOOP-INVARIANT frames so
+            # XLA hoists them (built once per chain run): the slope measures
+            # the per-OUTPUT warp cost alone — flow-dependent tables + kernel
+            # — exactly what the engine pays 2.5x per source. The per-SOURCE
+            # context build+pack is accounted separately by wctx_chain (the
+            # engine builds ONE context per ingested frame, ring of 3).
             acc = jnp.uint32(salt)
             fl = flow_prev
             for i in range(k):
                 fl = fl + (acc % 2).astype(jnp.int16)
                 t = jnp.float32(0.1 + 0.3 * (i % 3))
-                y1 = f1y + (acc % 2).astype(salt_dtype)
                 if B == 1:
-                    r = warp_unit(y1[0], f1uv[0], f2y[0], f2uv[0], fl[0], t)
+                    r = warp_unit(f1y[0], f1uv[0], f2y[0], f2uv[0], fl[0], t)
                 else:
                     r = jnp.sum(jax.vmap(
                         lambda a, b, c, d, f: warp_unit(a, b, c, d, f, t))(
-                            y1, f1uv, f2y, f2uv, fl))
+                            f1y, f1uv, f2y, f2uv, fl))
+                acc = jax.lax.optimization_barrier(acc + r)
+            return acc
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def wctx_chain(salt, *, k: int):
+            # One warp-context build+pack per iteration (salted input defeats
+            # hoisting/CSE): the engine's per-source warp overhead.
+            acc = jnp.uint32(salt)
+            for _ in range(k):
+                y1 = f1y + (acc % 2).astype(salt_dtype)
+                if B == 1:
+                    r = wctx_unit(y1[0], f1uv[0])
+                else:
+                    r = jnp.sum(jax.vmap(wctx_unit)(y1, f1uv))
                 acc = jax.lax.optimization_barrier(acc + r)
             return acc
 
         flow_ms = slope_ms(flow_chain, args.k1, args.k2)
         warp_ms = slope_ms(warp_chain, args.k1, args.k2)
-        per_source_ms = (flow_ms + outputs_per_source * warp_ms) / B
-        return flow_ms, warp_ms, per_source_ms
+        wctx_ms = slope_ms(wctx_chain, args.k1, args.k2) \
+            if engine.use_warp_strips else 0.0
+        per_source_ms = (flow_ms + wctx_ms
+                         + outputs_per_source * warp_ms) / B
+        return flow_ms, warp_ms + wctx_ms / outputs_per_source, per_source_ms
 
     if args.radius == "auto":
         radii = [r for r in BUCKETS

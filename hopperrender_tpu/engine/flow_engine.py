@@ -40,7 +40,8 @@ from hopperrender_tpu.ops import warp_strip
 
 
 def estimate_hbm_bytes(frame_height: int, frame_width: int, *, is_hdr: bool,
-                       max_calc_res: int = config.MAX_CALC_RES) -> int:
+                       max_calc_res: int = config.MAX_CALC_RES,
+                       warp_band_packed: bool | None = None) -> int:
     """Device-memory footprint estimate for one engine instance: the 3-deep frame
     ring, the per-frame flow/warp contexts, flow double buffer, and pyramid working
     set. The TPU analogue of the reference's pre-build VRAM formula
@@ -63,14 +64,28 @@ def estimate_hbm_bytes(frame_height: int, frame_width: int, *, is_hdr: bool,
     def tree_bytes(tree) -> int:
         return sum(l.size * l.dtype.itemsize for l in jax.tree.leaves(tree))
 
+    if warp_band_packed is None:
+        # Worst case / TPU deployment default: the engine pre-packs the band
+        # kernel's u32 source layout into each warp context wherever the band
+        # geometry is valid (flow_engine._build_wctx).
+        warp_band_packed = rs >= 1 and warp_band.band_geometry_ok(
+            res_scalar=rs, is_hdr=is_hdr, dim_y=h, dim_x=w, apron=a)
+
     if rs >= 1:
         flow_ctx = tree_bytes(jax.eval_shape(
             functools.partial(flow_strip.build_frame_context, apron=a,
                               is_hdr=is_hdr, res_scalar=rs,
                               low_dims=(low_h, low_w)), y_s, uv_s))
-        warp_ctx = tree_bytes(jax.eval_shape(
-            functools.partial(warp_strip.build_warp_context, apron=a,
-                              is_hdr=is_hdr), y_s, uv_s))
+
+        def build_wctx(y, uv):
+            ctx = warp_strip.build_warp_context(y, uv, apron=a, is_hdr=is_hdr)
+            if warp_band_packed:
+                ctx = warp_band.pack_band_context(
+                    ctx, res_scalar=rs, is_hdr=is_hdr, dim_y=h, dim_x=w,
+                    apron=a)
+            return ctx
+
+        warp_ctx = tree_bytes(jax.eval_shape(build_wctx, y_s, uv_s))
     else:  # reference-formulation fallback path holds only the raw frames
         flow_ctx = warp_ctx = 0
     contexts = 3 * (flow_ctx + warp_ctx)
@@ -248,8 +263,16 @@ class OpticalFlowEngine:
             low_dims=(self.low_h, self.low_w))
 
     def _build_wctx(self, y_dev, uv_dev):
-        return warp_strip.build_warp_context(
+        ctx = warp_strip.build_warp_context(
             y_dev, uv_dev, apron=self._apron, is_hdr=self.is_hdr)
+        if self.use_warp_band:
+            # Pre-pack the band kernel's u32 source layout once per SOURCE
+            # frame; repacking per output was the largest warp prep term
+            # (chip-probed, PERF.md round 3 warp anatomy).
+            ctx = warp_band.pack_band_context(
+                ctx, res_scalar=self.res_scalar, is_hdr=self.is_hdr,
+                dim_y=self.h, dim_x=self.w, apron=self._apron)
+        return ctx
 
     # -- streaming API (mirrors OpticalFlowCalc) -----------------------------
 
@@ -547,8 +570,13 @@ class OpticalFlowEngine:
         device scalar. warp_unit(y1, uv1, y2, uv2, flow, t, mode) = warp
         context builds for BOTH sources + one warp (a conservative overcount:
         the engine builds one warp context per source frame, not two per
-        output). Both route through the same _run_pyramid/_run_warp the
-        streaming path uses, at the current radius bucket."""
+        output — bench.py therefore holds the frames loop-invariant so XLA
+        hoists the builds, and accounts the per-source build separately via
+        wctx_unit). wctx_unit(y, uv) = ONE warp-context build+pack, the
+        engine's actual per-source-frame warp overhead. All route through
+        the same _run_pyramid/_run_warp/_build_wctx the streaming path uses,
+        at the current radius bucket. Returns (flow_unit, warp_unit,
+        wctx_unit)."""
         self._refresh_geometry()
         num_layers = self._bucket
         apron = self._apron
@@ -577,10 +605,8 @@ class OpticalFlowEngine:
             if sig is not None:
                 acc = acc + jnp.sum(sig).astype(jnp.uint32)
             acc = jax.lax.optimization_barrier(acc)
-            if self.use_warp_strips:
-                w = self._build_wctx(y1, uv1)
-                acc = acc + jax.lax.optimization_barrier(
-                    w["wpad_y"][0, 0].astype(jnp.uint32))
+            # (The per-source warp-context build is measured by wctx_unit —
+            # a 1-element touch here would mostly dead-code-eliminate anyway.)
             return acc
 
         def warp_unit(y1, uv1, y2, uv2, flow, t, mode=2):
@@ -594,4 +620,15 @@ class OpticalFlowEngine:
             return (jnp.sum(y[0, :8].astype(jnp.uint32))
                     + jnp.sum(uv[0, :8].astype(jnp.uint32)))
 
-        return flow_unit, warp_unit
+        def wctx_unit(y, uv):
+            if not self.use_warp_strips:
+                return jnp.uint32(0)
+            w = self._build_wctx(y, uv)
+            # Full-tree checksum: partial reads would let XLA dead-code the
+            # pad/pack work this unit exists to measure.
+            acc = jnp.uint32(0)
+            for leaf in jax.tree.leaves(w):
+                acc = acc + jnp.sum(leaf.astype(jnp.uint32))
+            return acc
+
+        return flow_unit, warp_unit, wctx_unit

@@ -521,10 +521,57 @@ def band_geometry_ok(*, res_scalar: int, is_hdr: bool, dim_y: int, dim_x: int,
         is not None
 
 
+def _pack_params(geoms, *, dim_y: int, apron: int):
+    """Static packed-source layouts ((min_w32, min_rows) for Y, UV) shared by
+    warp_frame_band and pack_band_context — the two MUST agree for the
+    pre-packed fields to be consumed."""
+    (cell, per32, w32, gy), (per32c, w32c, gc) = geoms
+    band_rows, n_tiles, c32, _ = gy
+    tile_w32 = w32 // n_tiles
+    min_w32 = (n_tiles - 1) * tile_w32 + _round_up(c32, 128)
+    min_rows_y = -(-dim_y // band_rows) * band_rows + 2 * apron
+    band_c, n_tiles_c, c32c, _ = gc
+    tile_w32c = w32c // n_tiles_c
+    min_w32c = (n_tiles_c - 1) * tile_w32c + _round_up(c32c, 128)
+    h2 = dim_y // 2
+    min_rows_c = -(-h2 // band_c) * band_c + 2 * (apron // 2)
+    return (min_w32, min_rows_y), (min_w32c, min_rows_c)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("res_scalar", "is_hdr", "dim_y", "dim_x",
+                              "apron", "vmem_budget"))
+def pack_band_context(wctx: dict, *, res_scalar: int, is_hdr: bool,
+                      dim_y: int, dim_x: int, apron: int,
+                      vmem_budget: int = 10 << 20) -> dict:
+    """Pre-pack a warp context's padded planes into the band kernel's u32
+    layout ONCE per source frame. The packed planes are flow/t-independent,
+    but warp_frame_band repacking them per OUTPUT cost ~3.5 ms of bitcast/pad
+    copies at 4K HDR (chip-probed via the bandprep/wctx variants) — per
+    source the engine amortizes 1 pack over ~2.5 outputs. Returns wctx plus
+    wpack_y (1, rows, w32) and wpack_uv (2, rows_c, w32c); warp_frame_band
+    consumes them when the shapes match its geometry (else it repacks --
+    safe across radius-bucket apron changes)."""
+    geoms = _geometries(res_scalar=res_scalar, is_hdr=is_hdr, dim_y=dim_y,
+                        dim_x=dim_x, apron=apron, vmem_budget=vmem_budget)
+    if geoms is None:
+        return wctx
+    (cell, per32, w32, gy), (per32c, w32c, gc) = geoms
+    (min_w32, min_rows_y), (min_w32c, min_rows_c) = _pack_params(
+        geoms, dim_y=dim_y, apron=apron)
+    a, ac = apron, apron // 2
+    wpack_y = _pack_u32(wctx["wpad_y"], per32, min_w32, min_rows_y)[None]
+    puv = wctx["wpad_uv"]
+    puv = puv[:, a - ac:puv.shape[1] - (a - ac)]
+    wpack_uv = jnp.stack([_pack_u32(puv[0], per32c, min_w32c, min_rows_c),
+                          _pack_u32(puv[1], per32c, min_w32c, min_rows_c)])
+    return dict(wctx, wpack_y=wpack_y, wpack_uv=wpack_uv)
+
+
 @functools.partial(
     jax.jit, static_argnames=("res_scalar", "mode", "is_hdr", "dim_y", "dim_x",
                               "apron", "interpret", "vmem_budget",
-                              "chain_bounds"),
+                              "chain_bounds", "debug_prep_only"),
 )
 def warp_frame_band(
     wctx12: dict, wctx21: dict,
@@ -533,7 +580,7 @@ def warp_frame_band(
     *,
     res_scalar: int, mode: int, is_hdr: bool, dim_y: int, dim_x: int,
     apron: int, interpret: bool = False, vmem_budget: int = 10 << 20,
-    chain_bounds: tuple = (RES_V, RES_H),
+    chain_bounds: tuple = (RES_V, RES_H), debug_prep_only: bool = False,
 ):
     """Pallas twin of warp_strip.warp_frame_strip (identical outputs) for modes
     0/1/2. Consumes the same per-frame warp contexts.
@@ -613,16 +660,30 @@ def warp_frame_band(
 
     min_w32 = (n_tiles - 1) * tile_w32 + _round_up(c32, 128)
     min_rows_y = nb_y * band_rows + 2 * a
-    src12y = _pack_u32(wctx12["wpad_y"], per32, min_w32, min_rows_y)[None]
-    src21y = _pack_u32(wctx21["wpad_y"], per32, min_w32, min_rows_y)[None]
-    outy = _band_call(
-        dispY, fscY, fs, lev, fmY, src12y, src21y, cell=cell,
-        per32=per32, cb=cb, band_rows=band_rows, a_rows=a, c32=c32,
-        c32_alloc=c32_alloc, tile_w32=tile_w32, n_tiles=n_tiles,
-        out_rows=dim_y, mode=mode, is_hdr=is_hdr, is_uv=False, n_par=1,
-        interpret=interpret, res_v=res_v, res_h=res_h)
-    y = jax.lax.bitcast_convert_type(outy, dtype).reshape(
-        outy.shape[0], -1)[:dim_y, :dim_x]
+
+    def y_src(ctx):
+        pk = ctx.get("wpack_y")
+        if pk is not None and pk.shape == (1, min_rows_y, min_w32):
+            return pk        # pre-packed per source (pack_band_context)
+        return _pack_u32(ctx["wpad_y"], per32, min_w32, min_rows_y)[None]
+
+    src12y = y_src(wctx12)
+    src21y = y_src(wctx21)
+    if debug_prep_only:
+        # Cost-attribution probe (scripts/tpu_warp_bench.py bandprep): force
+        # every XLA-side table/packing computation, skip the Pallas call.
+        s = (jnp.sum(fmY.astype(U32)) + jnp.sum(fscY.astype(U32))
+             + jnp.sum(dispY.astype(U32)) + jnp.sum(src12y) + jnp.sum(src21y))
+        y = jnp.broadcast_to((s & 0xFF).astype(dtype), (dim_y, dim_x))
+    else:
+        outy = _band_call(
+            dispY, fscY, fs, lev, fmY, src12y, src21y, cell=cell,
+            per32=per32, cb=cb, band_rows=band_rows, a_rows=a, c32=c32,
+            c32_alloc=c32_alloc, tile_w32=tile_w32, n_tiles=n_tiles,
+            out_rows=dim_y, mode=mode, is_hdr=is_hdr, is_uv=False, n_par=1,
+            interpret=interpret, res_v=res_v, res_h=res_h)
+        y = jax.lax.bitcast_convert_type(outy, dtype).reshape(
+            outy.shape[0], -1)[:dim_y, :dim_x]
 
     # ---- UV plane (pair elements; parity-stacked planes) ----------------------
     band_c, n_tiles_c, c32c, c32c_alloc = gc
@@ -677,6 +738,9 @@ def warp_frame_band(
     min_rows_c = nb_c * band_c + 2 * ac
 
     def pack_uv(ctx):
+        pk = ctx.get("wpack_uv")
+        if pk is not None and pk.shape == (2, min_rows_c, min_w32c):
+            return pk        # pre-packed per source (pack_band_context)
         puv = ctx["wpad_uv"]          # (2, Hc+2a, Wc+2ac) pair elements
         # The UV band only spans +-a/2 rows (|round(off*fs*0.5)| <= apron/2):
         # trim the +-a row padding so the in-kernel row origin is apron/2.
@@ -686,6 +750,12 @@ def warp_frame_band(
 
     src12c = pack_uv(wctx12)
     src21c = pack_uv(wctx21)
+    if debug_prep_only:
+        s = (jnp.sum(fmC.astype(U32)) + jnp.sum(fscC.astype(U32))
+             + jnp.sum(dispC.astype(U32)) + jnp.sum(src12c) + jnp.sum(src21c))
+        uv = y[:dim_y // 2] ^ jnp.broadcast_to(
+            (s & 0xFF).astype(dtype), (dim_y // 2, dim_x))
+        return y, uv
     outc = _band_call(
         dispC, fscC, fs, lev, fmC, src12c, src21c, cell=cell,
         per32=per32c, cb=cbc, band_rows=band_c, a_rows=ac, c32=c32c,

@@ -48,6 +48,7 @@ def main() -> None:
 
     est = flow_engine.estimate_hbm_bytes(h, w, is_hdr=is_hdr)
     print(f"estimate_hbm_bytes({name}) = {est / 1e9:.3f} GB")
+    est_fn = flow_engine.estimate_hbm_bytes  # re-evaluated after engine build
 
     eng = flow_engine.OpticalFlowEngine(h, w, is_hdr=is_hdr)
     # Stream at MAX radius so the engine's contexts are built at the same
@@ -74,7 +75,9 @@ def main() -> None:
         for leaf in _jax.tree.leaves(tree):
             if hasattr(leaf, "nbytes"):
                 ledger += leaf.nbytes
-    persistent_est = est - flow_engine._working_bytes(h, w, is_hdr=is_hdr)
+    persistent_est = est_fn(
+        h, w, is_hdr=is_hdr, warp_band_packed=eng.use_warp_band) \
+        - flow_engine._working_bytes(h, w, is_hdr=is_hdr)
     ratio_l = persistent_est / max(1, ledger)
     print(f"live persistent arrays (ring + contexts + flows): "
           f"{ledger / 1e6:.1f} MB; formula persistent terms "

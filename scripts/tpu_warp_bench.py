@@ -31,9 +31,12 @@ else:
 white = 65280.0 if is_hdr else 255.0
 salt_dtype = jnp.uint16 if is_hdr else jnp.uint8
 if which.startswith("band"):
-    # "band" = default (16,16) chains; "band8" = (8,8) short chains.
+    # "band" = default (16,16) chains; "band8" = (8,8) short chains;
+    # "bandprep" = XLA table/packing prep only (no Pallas call) for cost
+    # attribution: kernel cost = band - bandprep.
     bounds = (8, 8) if which == "band8" else (16, 16)
-    fn = functools.partial(warp_band.warp_frame_band, chain_bounds=bounds)
+    fn = functools.partial(warp_band.warp_frame_band, chain_bounds=bounds,
+                           debug_prep_only=which == "bandprep")
 else:
     fn = warp_strip.warp_frame_strip
 
@@ -47,6 +50,17 @@ def chain(salt, *, k: int):
         y1s = f1y + (acc % 2).astype(salt_dtype)
         c12 = warp_strip.build_warp_context(y1s, f1uv, apron=apron, is_hdr=is_hdr)
         c21 = warp_strip.build_warp_context(f2y, f2uv, apron=apron, is_hdr=is_hdr)
+        if which == "wctx":
+            # Context builds alone (mirror pads); the engine pays 2 of these
+            # per SOURCE frame (amortized over 2.5 outputs).
+            # FULL-plane checksums: partial slices would let XLA dead-code
+            # the pad work this variant exists to measure.
+            acc = jax.lax.optimization_barrier(
+                acc + jnp.sum(c12["wpad_y"].astype(jnp.uint32))
+                + jnp.sum(c12["wpad_uv"].astype(jnp.uint32))
+                + jnp.sum(c21["wpad_y"].astype(jnp.uint32))
+                + jnp.sum(c21["wpad_uv"].astype(jnp.uint32)))
+            continue
         oy, ouv = fn(c12, c21, fl, t, jnp.float32(0.0), jnp.float32(white),
                      res_scalar=rs, mode=2, is_hdr=is_hdr, dim_y=H, dim_x=W, apron=apron)
         acc = jax.lax.optimization_barrier(

@@ -34,7 +34,10 @@ def test_hbm_persistent_terms_equal_live_ledger(h, w, is_hdr):
     ledger = sum(
         _tree_bytes(getattr(eng, n))
         for n in ("_frames_y", "_frames_uv", "_ctxs", "_wctxs", "_blurred"))
-    est = flow_engine.estimate_hbm_bytes(h, w, is_hdr=is_hdr)
+    # warp_band_packed must mirror the engine's actual routing (CPU engines
+    # don't run the band kernel, so they hold unpacked contexts).
+    est = flow_engine.estimate_hbm_bytes(
+        h, w, is_hdr=is_hdr, warp_band_packed=eng.use_warp_band)
     persistent = est - flow_engine._working_bytes(h, w, is_hdr=is_hdr)
     assert persistent == ledger
     # The transient working-set model must stay a positive, sane fraction.

@@ -199,3 +199,26 @@ def test_band_short_chain_bounds_match_strip(rng, is_hdr, flavor):
                                     chain_bounds=(8, 8))
     np.testing.assert_array_equal(yb, ys)
     np.testing.assert_array_equal(uvb, uvs)
+
+def test_band_prepacked_context_identical(rng):
+    """pack_band_context pre-packs the u32 source layout per source frame;
+    warp_frame_band must produce byte-identical output consuming the packed
+    fields (and fall back to repacking when shapes mismatch)."""
+    h, w, rs, apron = 64, 128, 2, 32
+    c1, c2, flow = build_inputs(rng, h, w, rs, False, apron, max_mag=20)
+    kw = dict(res_scalar=rs, is_hdr=False, dim_y=h, dim_x=w, apron=apron)
+    p1 = warp_band.pack_band_context(c1, **kw)
+    p2 = warp_band.pack_band_context(c2, **kw)
+    assert "wpack_y" in p1 and "wpack_uv" in p1
+    args = (flow, jnp.float32(0.375), jnp.float32(16.0), jnp.float32(235.0))
+    want = warp_band.warp_frame_band(c1, c2, *args, mode=2, interpret=True,
+                                     **kw)
+    got = warp_band.warp_frame_band(p1, p2, *args, mode=2, interpret=True,
+                                    **kw)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
+    # Mismatched pack shapes (e.g. stale apron) must be ignored, not consumed.
+    stale = dict(p1, wpack_y=p1["wpack_y"][:, :-8])
+    got2 = warp_band.warp_frame_band(stale, p2, *args, mode=2, interpret=True,
+                                     **kw)
+    np.testing.assert_array_equal(np.asarray(got2[0]), np.asarray(want[0]))
