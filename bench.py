@@ -158,9 +158,17 @@ def main() -> None:
             # fixed point, exactly what the streaming engine converges to
             # after 1-2 frames of this content.
             plan = engine.settle_plan(f1y[0], f1uv[0], f2y[0], f2uv[0])
+            # Warp apron tier: certify for the flow the WARP CHAIN feeds
+            # (flow_prev drifts by up to +k2 across chain iterations), not
+            # the pyramid's settled flow — the chain's bound is what must
+            # cover the band DMA windows. On pan content both pick the same
+            # 32-px tier the served engine uses.
+            bound_chain = int(np.abs(flow_np).max()) + args.k2
+            engine._flow_bounds = [bound_chain, bound_chain]
             if not args.json_only:
                 print(f"  radius {radius} settled tier plan: "
-                      f"{''.join(t if len(t) == 1 else t.lower() for t in plan)}",
+                      f"{''.join(t if len(t) == 1 else t.lower() for t in plan)}"
+                      f"; warp apron bound {bound_chain}",
                       file=sys.stderr)
         flow_unit, warp_unit, wctx_unit = engine.bench_units()
         # Re-apply the kernel override (bench_units re-derives band routing
@@ -262,7 +270,7 @@ def main() -> None:
         print(
             f"[{args.config} x{B}] {w}x{h} {'HDR' if is_hdr else 'SDR'} "
             f"{'strip' if engine.use_strips else 'reference'} path, "
-            f"warp={'band' if engine.use_warp_band else 'strip/ref'}, "
+            f"warp={('band(apron %d)' % engine.warp_apron_used) if engine.use_warp_band else 'strip/ref'}, "
             f"content={args.content} flow-content={args.flow_content} "
             f"on {jax.devices()[0]} "
             f"(slope k={args.k1}->{args.k2})\n"

@@ -247,6 +247,11 @@ class OpticalFlowEngine:
         self._plans: dict = {}          # (bucket, num_iterations) -> plan
         self.plan_mispredicts = 0
         self.plan_reruns = 0
+        # Host-known maxabs of each flow double-buffer slot (from the fetched
+        # validity sig; None on the gather/cond paths) — certifies the band
+        # warp's apron tier (warp_band.pick_apron). Rotates with _blurred.
+        self._flow_bounds: list = [None, None]
+        self.warp_apron_used = self._apron   # observability
 
     # The underlying ops are module-level jits with static argnames, so engines with
     # the same (resolution, hdr) share one compilation — no per-instance traces.
@@ -392,6 +397,7 @@ class OpticalFlowEngine:
         out = self._run_pyramid(ctx1, f1y, f1uv, f2y, f2uv,
                                 num_layers=num_layers, apron=apron, plan=plan)
         sig = np.asarray(out[3])   # forces completion (honest timing)
+        self._last_flow_bound = flow_strip.sig_flow_bound(sig)
         bad = flow_strip.first_invalid_step(
             plan, sig, self.low_h, self.low_w, self.num_iterations)
         if bad is not None:
@@ -433,6 +439,10 @@ class OpticalFlowEngine:
             nxt = flow_strip.predict_plan(sig, self.low_h, self.low_w,
                                           self.num_iterations)
             self._plans[self._plan_key()] = nxt
+            # Settle the warp apron tier too: benches measure the tier the
+            # served engine would pick for this content.
+            b = flow_strip.sig_flow_bound(sig)
+            self._flow_bounds = [b, b]
             if nxt == plan:
                 return plan
             plan = nxt
@@ -458,6 +468,7 @@ class OpticalFlowEngine:
                 self._frames_y[2], self._frames_uv[2],
                 num_layers=num_layers, apron=self._apron)
             self._blurred = [self._blurred[1], blurred]
+            self._flow_bounds = [self._flow_bounds[1], self._last_flow_bound]
             self._pending_delta_raw = delta_raw
             self.ofc_time.record(time.perf_counter() - self._ofc_start)
             return
@@ -466,6 +477,7 @@ class OpticalFlowEngine:
             self._frames_y[2], self._frames_uv[2],
             num_layers=num_layers, apron=self._apron)
         self._blurred = [self._blurred[1], blurred]
+        self._flow_bounds = [self._flow_bounds[1], None]
         self._pending_delta_raw = delta_raw
         # Timing: dispatch-to-done around the flow computation (event-profiling
         # analogue). The 1-element fetch forces completion even on runtimes where
@@ -492,17 +504,23 @@ class OpticalFlowEngine:
         return self.black_level, self.white_level
 
     def _run_warp(self, wctx0, wctx1, f0, f1, flow, blending_scalar,
-                  mode: int, *, apron):
+                  mode: int, *, apron, flow_bound=None):
         """The engine's warp for one output frame — the SINGLE definition used
         by both streaming (warp_frames) and bench_units(). f0/f1 are the raw
-        (y, uv) frame tuples for the non-strip fallback."""
+        (y, uv) frame tuples for the non-strip fallback. flow_bound is the
+        host-known maxabs of `flow` (from the fetched validity sig): it
+        selects the band kernel's apron tier, shrinking the band DMA to what
+        the flow can actually reach (warp_frame_band apron_eff) — exact, not
+        speculative, since the sig was fetched before this warp dispatches."""
         black, white = self._levels()
         if self.use_warp_band and mode in (0, 1, 2) and wctx0 is not None:
+            self.warp_apron_used = warp_band.pick_apron(flow_bound, apron)
             return warp_band.warp_frame_band(
                 wctx0, wctx1, flow,
                 jnp.float32(blending_scalar), jnp.float32(black), jnp.float32(white),
                 res_scalar=self.res_scalar, mode=mode, is_hdr=self.is_hdr,
                 dim_y=self.h, dim_x=self.w, apron=apron,
+                apron_eff=self.warp_apron_used,
                 interpret=self._band_interpret,
             )
         if self.use_warp_strips and mode in (0, 1, 2) and wctx0 is not None:
@@ -530,7 +548,7 @@ class OpticalFlowEngine:
             (self._frames_y[0], self._frames_uv[0]),
             (self._frames_y[1], self._frames_uv[1]),
             self._blurred[0], blending_scalar, int(frame_output_mode),
-            apron=self._apron)
+            apron=self._apron, flow_bound=self._flow_bounds[0])
         if self.timing_fetch:
             int(uv[0, 0])
         else:
@@ -615,8 +633,11 @@ class OpticalFlowEngine:
                 w1 = self._build_wctx(y2, uv2)
             else:
                 w0 = w1 = None
+            # Apron tier: the settled bound (settle_plan / streamed sig) —
+            # exactly what the served path would pick for this content.
             y, uv = self._run_warp(w0, w1, (y1, uv1), (y2, uv2), flow, t,
-                                   int(mode), apron=apron)
+                                   int(mode), apron=apron,
+                                   flow_bound=self._flow_bounds[0])
             return (jnp.sum(y[0, :8].astype(jnp.uint32))
                     + jnp.sum(uv[0, :8].astype(jnp.uint32)))
 

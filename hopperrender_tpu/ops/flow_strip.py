@@ -1461,6 +1461,12 @@ def default_plan(low_h: int, low_w: int, num_iterations: int = 0) -> tuple:
     return ("U",) + ("G",) * (n - 1)
 
 
+def sig_flow_bound(sig) -> int:
+    """maxabs of the blurred flow, from a fetched validity sig (the warp
+    apron tier's certificate; layout: [ndev*n, ndist*n, bound, probe])."""
+    return int(sig[-2])
+
+
 def split_sig(sig, low_h: int, low_w: int, num_iterations: int = 0):
     """(ndev, ndist) per-step arrays from a fetched validity sig
     (layout: [ndev x n_steps, ndist x n_steps, completion probe])."""
@@ -1544,7 +1550,8 @@ def pyramid_flow_strip_planned(
 ):
     """Statically tier-planned twin of pyramid_flow_strip (see block comment
     above). Returns (offsets, blurred, total_delta_raw, sig) with the
-    validity sig laid out [ndev x n_steps, ndist x n_steps, probe]:
+    validity sig laid out [ndev x n_steps, ndist x n_steps, flow-bound,
+    probe]:
     ndev[i] = pre-step deviant-window count vs the probe-dominant offset,
     ndist[i] = distinct-value count (measured only on steps that ran a V
     tier or a strip-routed G step — others report the window count =
@@ -1631,9 +1638,16 @@ def pyramid_flow_strip_planned(
         offsets = jax.lax.optimization_barrier(offsets)
 
     blurred = flow_ops.blur_flow(offsets)
+    # maxabs of the BLURRED flow: the warp apron tier's certificate. The warp
+    # that consumes this flow runs NEXT frame (flow double buffer), by which
+    # time this sig has been fetched — so the host picks the smallest band
+    # apron covering the true displacement bound with no speculation
+    # (warp_band.pick_apron / flow_engine._flow_bounds).
+    bound = jnp.max(jnp.abs(blurred.astype(jnp.int32))).astype(jnp.int32)
     sig = jnp.concatenate([
         jnp.stack(ndevs),
         jnp.stack(ndists),
+        bound[None],
         blurred[0, 0, 0].astype(jnp.int32)[None],
     ])
     return offsets, blurred, total_delta_raw, sig

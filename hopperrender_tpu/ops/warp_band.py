@@ -189,6 +189,7 @@ def _merge_cells_kernel(
     c32: int, c32_alloc: int, tile_w32: int, mode: int, is_hdr: bool,
     is_uv: bool, n_par: int, cpt: int, nk: int, xdiv8: int, sdiv8: int,
     res_v: int = RES_V, res_h: int = RES_H,
+    row_shift: int = 0, lane_shift: int = 0,
 ):
     """Kernel factory. Refs:
       disp_ref  SMEM (1, 8, cpb*cpt*nk/8) int32, flattened per-cell records of
@@ -232,9 +233,14 @@ def _merge_cells_kernel(
                 # Source planes are row-padded so every band window is in
                 # bounds at this aligned static-stride offset (no last-band
                 # shift — Mosaic requires provably 8-aligned row offsets).
+                # row_shift/lane_shift (static, 8-/128-aligned) retarget the
+                # window into a plane packed at a LARGER apron than this
+                # kernel's effective one (the host-planned apron tier): the
+                # DMA pulls only the rows/lanes the certified displacement
+                # bound can reach.
                 c = pltpu.make_async_copy(
-                    src.at[q, pl.ds(b * band_rows, rows),
-                           pl.ds(t * tile_w32, c32_dma)],
+                    src.at[q, pl.ds(b * band_rows + row_shift, rows),
+                           pl.ds(t * tile_w32 + lane_shift, c32_dma)],
                     band.at[q, pl.ds(0, rows), pl.ds(0, c32_dma)],
                     sem.at[si, q],
                 )
@@ -433,7 +439,7 @@ def _merge_cells_kernel(
 def _band_call(disp, fscal, fs, lev, fmap, src12, src21, *, cell,
                per32, cb, band_rows, a_rows, c32, c32_alloc, tile_w32, n_tiles,
                out_rows, mode, is_hdr, is_uv, n_par, interpret,
-               res_v=RES_V, res_h=RES_H):
+               res_v=RES_V, res_h=RES_H, row_shift=0, lane_shift=0):
     n_bands = -(-out_rows // band_rows)
     cpb, cpt, k = disp.shape[2:]
     xdiv8 = cpb * cpt * k // 8
@@ -444,7 +450,8 @@ def _band_call(disp, fscal, fs, lev, fmap, src12, src21, *, cell,
         cell=cell, per32=per32, cb=cb, band_rows=band_rows, a_rows=a_rows,
         c32=c32, c32_alloc=c32_alloc, tile_w32=tile_w32, mode=mode,
         is_hdr=is_hdr, is_uv=is_uv, n_par=n_par, cpt=cpt, nk=k, xdiv8=xdiv8,
-        sdiv8=sdiv8, res_v=res_v, res_h=res_h)
+        sdiv8=sdiv8, res_v=res_v, res_h=res_h,
+        row_shift=row_shift, lane_shift=lane_shift)
     disp = disp.reshape(disp.shape[0], disp.shape[1] * 8, xdiv8)
     # fscal: (n_gr_total, n_tiles, n_sub, 2) -> (nb, nt*8, sdiv8)
     n_sub = tile_w32 // 128
@@ -513,6 +520,23 @@ def _geometries(*, res_scalar: int, is_hdr: bool, dim_y: int, dim_x: int,
     return (cell, per32, w32, gy), (per32c, w32c, gc)
 
 
+APRON_TIERS = (32, 64, 128, 256)
+
+
+def pick_apron(bound: int | None, apron: int) -> int:
+    """Smallest apron tier >= the flow's certified displacement bound (maxabs
+    of the BLURRED flow used to warp, known exactly from the fetched validity
+    sig — flow_strip sig layout). None (bound unknown: gather/cond flow paths)
+    or an out-of-range bound selects the full bucket apron. The tier set is
+    small to bound the number of compiled band executables."""
+    if bound is None or bound < 0 or bound > apron:
+        return apron
+    for t in APRON_TIERS:
+        if t >= bound and t <= apron:
+            return t
+    return apron
+
+
 def band_geometry_ok(*, res_scalar: int, is_hdr: bool, dim_y: int, dim_x: int,
                      apron: int, vmem_budget: int = 10 << 20) -> bool:
     """Static predicate: can the band kernel handle this configuration?"""
@@ -571,7 +595,7 @@ def pack_band_context(wctx: dict, *, res_scalar: int, is_hdr: bool,
 @functools.partial(
     jax.jit, static_argnames=("res_scalar", "mode", "is_hdr", "dim_y", "dim_x",
                               "apron", "interpret", "vmem_budget",
-                              "chain_bounds", "debug_prep_only"),
+                              "chain_bounds", "debug_prep_only", "apron_eff"),
 )
 def warp_frame_band(
     wctx12: dict, wctx21: dict,
@@ -581,6 +605,7 @@ def warp_frame_band(
     res_scalar: int, mode: int, is_hdr: bool, dim_y: int, dim_x: int,
     apron: int, interpret: bool = False, vmem_budget: int = 10 << 20,
     chain_bounds: tuple = (RES_V, RES_H), debug_prep_only: bool = False,
+    apron_eff: int | None = None,
 ):
     """Pallas twin of warp_strip.warp_frame_strip (identical outputs) for modes
     0/1/2. Consumes the same per-frame warp contexts.
@@ -592,13 +617,28 @@ def warp_frame_band(
     path. (8, 8) roughly halves fast-subtile VPU work and is exact-hit on
     converged (near-uniform, blurred) flow; (16, 16) certifies wider in-tile
     spreads. Hosts pick per frame from the previous flow's spread (the same
-    speculate-and-verify pattern as the flow tier plan)."""
+    speculate-and-verify pattern as the flow tier plan).
+
+    apron_eff: host-planned APRON TIER. The packed-source layout (and the
+    per-source pre-pack) always lives at the full bucket `apron`, but the
+    band DMA only needs to span the flow's ACTUAL displacement bound — which
+    the engine knows exactly before warping (the warped flow's maxabs rides
+    the previous pair's validity sig; flow_engine._flow_bounds). Passing
+    apron_eff <= apron shrinks every band window from band+2*apron to
+    band+2*apron_eff rows (and the lane aprons likewise) via static DMA
+    origin shifts — at the 4K bucket-16 operating point that is a ~10x cut
+    of the kernel's HBM traffic on converged content. REQUIRES
+    maxabs(flow) <= apron_eff (caller certifies; the engine derives it from
+    the fetched sig, so there is no speculation and no mispredict path).
+    Outputs are bit-identical for every valid apron_eff."""
     assert mode in (0, 1, 2)
     res_v, res_h = chain_bounds
     assert res_v in (8, 16) and res_h in (8, 16), chain_bounds
     assert res_v <= RES_V and res_h <= RES_H  # scratch slack is RV-sized
     rs = res_scalar
     a = apron
+    aw = a if apron_eff is None else apron_eff
+    assert 32 <= aw <= a and aw % 16 == 0, (aw, a)
     low_h, low_w = flow.shape[1:]
     geoms = _geometries(res_scalar=rs, is_hdr=is_hdr, dim_y=dim_y, dim_x=dim_x,
                         apron=a, vmem_budget=vmem_budget)
@@ -614,9 +654,19 @@ def warp_frame_band(
                      jnp.asarray(white_level, F32)]).reshape(1, 2)
 
     # ---- Y plane -------------------------------------------------------------
-    band_rows, n_tiles, c32, c32_alloc = gy
+    band_rows, n_tiles, c32_full, _ = gy
     tile_w32 = w32 // n_tiles
     cb = cell // per32
+    # Effective (apron-tier) band geometry: the DMA window starts
+    # row_shift/lane_shift into the full-apron packed layout. The lane shift
+    # must be 128-aligned (Mosaic DMA constraint); the sub-128 residue folds
+    # into the in-window element origin instead.
+    row_shift_y = a - aw
+    _slr = row_shift_y // per32
+    lane_shift_y = _slr & ~127
+    org_y = aw + (_slr - lane_shift_y) * per32   # element origin in window
+    c32 = tile_w32 + 2 * (aw // per32) + (_slr - lane_shift_y)
+    c32_alloc = max(WW + 128, _round_up(c32 + cb + 1, 128))
     cps = (128 * per32) // cell
     n_cy = dim_y // cell
     n_cx = dim_x // cell
@@ -635,7 +685,7 @@ def warp_frame_band(
             dyc = jnp.pad(dyc, ((0, 0), (0, pad_cx)), mode="edge")
             dxc = jnp.pad(dxc, ((0, 0), (0, pad_cx)), mode="edge")
         cx_in_tile = jnp.arange(dxc.shape[1], dtype=jnp.int32) % cpt
-        return dyc + a, cx_in_tile[None, :] * cell + dxc + a
+        return dyc + aw, cx_in_tile[None, :] * cell + dxc + org_y
 
     r12, p12 = y_table(dy12, dx12)
     r21, p21 = y_table(dy21, dx21)
@@ -658,7 +708,8 @@ def warp_frame_band(
     dispY = (dispY.reshape(nb_y, cpb, n_tiles, cpt, 4)
              .transpose(0, 2, 1, 3, 4))
 
-    min_w32 = (n_tiles - 1) * tile_w32 + _round_up(c32, 128)
+    # Pack layout (pre-pack match + repack fallback) is ALWAYS full-apron.
+    min_w32 = (n_tiles - 1) * tile_w32 + _round_up(c32_full, 128)
     min_rows_y = nb_y * band_rows + 2 * a
 
     def y_src(ctx):
@@ -678,21 +729,29 @@ def warp_frame_band(
     else:
         outy = _band_call(
             dispY, fscY, fs, lev, fmY, src12y, src21y, cell=cell,
-            per32=per32, cb=cb, band_rows=band_rows, a_rows=a, c32=c32,
+            per32=per32, cb=cb, band_rows=band_rows, a_rows=aw, c32=c32,
             c32_alloc=c32_alloc, tile_w32=tile_w32, n_tiles=n_tiles,
             out_rows=dim_y, mode=mode, is_hdr=is_hdr, is_uv=False, n_par=1,
-            interpret=interpret, res_v=res_v, res_h=res_h)
+            interpret=interpret, res_v=res_v, res_h=res_h,
+            row_shift=row_shift_y, lane_shift=lane_shift_y)
         y = jax.lax.bitcast_convert_type(outy, dtype).reshape(
             outy.shape[0], -1)[:dim_y, :dim_x]
 
     # ---- UV plane (pair elements; parity-stacked planes) ----------------------
-    band_c, n_tiles_c, c32c, c32c_alloc = gc
+    band_c, n_tiles_c, c32c_full, _ = gc
     tile_w32c = w32c // n_tiles_c
     sc_pairs = cell                    # supercell = 2 x-cells sharing flow
     cbc = sc_pairs // per32c
     cpsc = (128 * per32c) // sc_pairs
     h2 = dim_y // 2
     ac = a // 2
+    awc = aw // 2
+    row_shift_c = ac - awc
+    _slrc = row_shift_c // per32c
+    lane_shift_c = _slrc & ~127
+    org_c = awc + (_slrc - lane_shift_c) * per32c
+    c32c = tile_w32c + 2 * (awc // per32c) + (_slrc - lane_shift_c)
+    c32c_alloc = max(WW + 128, _round_up(c32c + cbc + 1, 128))
     n_scx = dim_x // (2 * cell)
     cptc = (tile_w32c * per32c) // sc_pairs
     pad_scx = n_tiles_c * cptc - n_scx
@@ -709,8 +768,8 @@ def warp_frame_band(
             dyc = jnp.pad(dyc, ((0, 0), (0, pad_scx)), mode="edge")
         q = (dxc & 1).astype(jnp.int32)
         sc_in_tile = jnp.arange(dxc.shape[1], dtype=jnp.int32) % cptc
-        p = sc_in_tile[None, :] * sc_pairs + ((dxc - q) >> 1) + ac
-        return dyc + ac, p, q
+        p = sc_in_tile[None, :] * sc_pairs + ((dxc - q) >> 1) + org_c
+        return dyc + awc, p, q
 
     rc12, pc12, q12 = uv_table(dx12, dy12_uv)
     rc21, pc21, q21 = uv_table(dx21, dy21_uv)
@@ -734,7 +793,7 @@ def warp_frame_band(
     dispC = (dispC.reshape(nb_c, cpbc, n_tiles_c, cptc, 6)
              .transpose(0, 2, 1, 3, 4))
 
-    min_w32c = (n_tiles_c - 1) * tile_w32c + _round_up(c32c, 128)
+    min_w32c = (n_tiles_c - 1) * tile_w32c + _round_up(c32c_full, 128)
     min_rows_c = nb_c * band_c + 2 * ac
 
     def pack_uv(ctx):
@@ -758,10 +817,11 @@ def warp_frame_band(
         return y, uv
     outc = _band_call(
         dispC, fscC, fs, lev, fmC, src12c, src21c, cell=cell,
-        per32=per32c, cb=cbc, band_rows=band_c, a_rows=ac, c32=c32c,
+        per32=per32c, cb=cbc, band_rows=band_c, a_rows=awc, c32=c32c,
         c32_alloc=c32c_alloc, tile_w32=tile_w32c, n_tiles=n_tiles_c,
         out_rows=h2, mode=mode, is_hdr=is_hdr, is_uv=True, n_par=2,
-        interpret=interpret, res_v=res_v, res_h=res_h)
+        interpret=interpret, res_v=res_v, res_h=res_h,
+        row_shift=row_shift_c, lane_shift=lane_shift_c)
     pair_dtype = jnp.uint32 if is_hdr else jnp.uint16
     pairs = jax.lax.bitcast_convert_type(outc, pair_dtype)
     pairs = pairs.reshape(outc.shape[0], -1)[:h2, :dim_x // 2]

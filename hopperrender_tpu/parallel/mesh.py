@@ -146,7 +146,8 @@ def pyramid_flow_strip_sharded(
         offsets = jax.lax.optimization_barrier(offsets)
 
     blurred = flow_ops.blur_flow(offsets)
-    sig = jnp.concatenate([jnp.stack(ndevs), jnp.stack(ndists),
+    bound = jnp.max(jnp.abs(blurred.astype(jnp.int32))).astype(jnp.int32)
+    sig = jnp.concatenate([jnp.stack(ndevs), jnp.stack(ndists), bound[None],
                            blurred[0, 0, 0].astype(jnp.int32)[None]])
     return offsets, blurred, total_delta_raw, sig
 

@@ -61,9 +61,12 @@ def test_all_gather_plan_matches_reference(rng, is_hdr):
     np.testing.assert_array_equal(np.asarray(off), np.asarray(w_off))
     np.testing.assert_array_equal(np.asarray(blur), np.asarray(w_blur))
     assert int(raw) == int(w_raw)
-    assert sig.shape == (2 * n + 1,)  # [ndev, ndist, completion probe]
+    assert sig.shape == (2 * n + 2,)  # [ndev, ndist, flow bound, probe]
     # Iteration-0 step-0 always starts from zeroed offsets => 0 deviants.
     assert int(sig[0]) == 0
+    # The flow-bound entry certifies the warp apron tier exactly.
+    assert flow_strip.sig_flow_bound(np.asarray(sig)) \
+        == int(np.max(np.abs(np.asarray(blur).astype(np.int64))))
     # G plans are valid on any content.
     assert flow_strip.first_invalid_step(plan, np.asarray(sig),
                                          low_h, low_w) is None

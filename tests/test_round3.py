@@ -42,3 +42,57 @@ def test_hbm_persistent_terms_equal_live_ledger(h, w, is_hdr):
     assert persistent == ledger
     # The transient working-set model must stay a positive, sane fraction.
     assert 0 < flow_engine._working_bytes(h, w, is_hdr=is_hdr) < est
+
+
+def test_engine_warp_apron_tier_streamed():
+    """Served-path apron tier: on converged pan content the planned pyramid's
+    sig carries the blurred flow's maxabs, and the next warp runs the band
+    kernel at the smallest covering apron tier — bit-identical to the
+    full-apron kernel (ref contract: warpFrameKernelSDR.h:116-184; the DMA
+    cut is the round-3 headline lever, PERF.md)."""
+    from hopperrender_tpu.ops import warp_band
+
+    h, w = 64, 128
+    rng = np.random.default_rng(3)
+
+    def stream(force_full):
+        # max_calc_res=16 -> res_scalar 2 (strip/planned path + band-valid).
+        eng = flow_engine.OpticalFlowEngine(h, w, is_hdr=False,
+                                            max_calc_res=16)
+        # Max radius -> bucket-16 apron (320 here): room for a tier drop.
+        eng.search_radius = hcfg.MAX_SEARCH_RADIUS
+        eng._band_interpret = True
+        eng.warp_apron_used = -1     # poison: a real band warp must set it
+        if force_full:
+            eng._run_warp_orig = eng._run_warp
+            eng._run_warp = lambda *a, **kw: eng._run_warp_orig(
+                *a, **{**kw, "flow_bound": None})
+        outs = []
+        for i in range(5):
+            y, uv = nv12.synthetic_frame(np.random.default_rng(3), h, w,
+                                         is_hdr=False, motion_x=i * 2,
+                                         coherent=True)
+            eng.update_frame(y, uv)
+            # CPU engines route strips; force the band path (interpret-mode
+            # test hook) after every update — _refresh_geometry re-derives
+            # the flag (platform check) whenever the apron changes.
+            eng.use_warp_band = True
+            if eng.frame_count < 3:
+                continue
+            eng.calculate_optical_flow()
+            oy, ouv = eng.warp_frames(0.5, 2)
+            outs.append((np.asarray(oy), np.asarray(ouv)))
+        return eng, outs
+
+    eng, outs = stream(force_full=False)
+    full_eng, full_outs = stream(force_full=True)
+    assert eng.tier_mode == "planned"
+    # The sig-carried bound certified a real tier drop on this content.
+    assert eng._flow_bounds[0] is not None
+    assert eng.warp_apron_used < eng._apron
+    assert eng.warp_apron_used == warp_band.pick_apron(
+        eng._flow_bounds[0], eng._apron)
+    assert full_eng.warp_apron_used == full_eng._apron
+    for (ay, auv), (by, buv) in zip(outs, full_outs):
+        np.testing.assert_array_equal(ay, by)
+        np.testing.assert_array_equal(auv, buv)

@@ -200,6 +200,66 @@ def test_band_short_chain_bounds_match_strip(rng, is_hdr, flavor):
     np.testing.assert_array_equal(yb, ys)
     np.testing.assert_array_equal(uvb, uvs)
 
+@pytest.mark.parametrize("is_hdr", [False, True])
+@pytest.mark.parametrize("rs", [2, 3])
+@pytest.mark.parametrize("mode", [0, 1, 2])
+def test_band_apron_tier_matches_full(rng, is_hdr, rs, mode):
+    """Host-planned apron tier: with the pack layout at the FULL apron, a
+    kernel running at a smaller effective apron (shifted DMA windows) must be
+    bit-identical whenever maxabs(flow) <= apron_eff. apron=64 vs aw=32
+    exercises a non-trivial lane-shift residue for every per32."""
+    h, w, apron = 64, 128, 64
+    c1, c2, flow = build_inputs(rng, h, w, rs, is_hdr, apron, max_mag=31)
+    kw = dict(res_scalar=rs, mode=mode, is_hdr=is_hdr, dim_y=h, dim_x=w,
+              apron=apron, interpret=True)
+    args = (flow, jnp.float32(0.375), jnp.float32(16.0), jnp.float32(235.0))
+    want = warp_band.warp_frame_band(c1, c2, *args, **kw)
+    got = warp_band.warp_frame_band(c1, c2, *args, apron_eff=32, **kw)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
+
+
+def test_band_apron_tier_with_prepack(rng):
+    """The production path: per-source pre-pack at the full bucket apron,
+    kernel at the tier — the pre-packed fields must be consumed (no repack)
+    and the output must stay byte-identical. Also covers displacements at
+    the tier bound (|flow| == apron_eff)."""
+    h, w, rs, apron = 64, 128, 2, 64
+    low_h, low_w = h >> rs, w >> rs
+    rng2 = np.random.default_rng(7)
+    y1, uv1 = make_frame(rng2, h, w, False)
+    y2, uv2 = make_frame(rng2, h, w, False)
+    vals = np.array([-32, -31, -1, 0, 1, 31, 32])
+    flow = jnp.asarray(rng2.choice(vals, (2, low_h, low_w)).astype(np.int16))
+    kw = dict(res_scalar=rs, is_hdr=False, dim_y=h, dim_x=w, apron=apron)
+    c1 = warp_strip.build_warp_context(jnp.asarray(y1), jnp.asarray(uv1),
+                                       apron=apron, is_hdr=False)
+    c2 = warp_strip.build_warp_context(jnp.asarray(y2), jnp.asarray(uv2),
+                                       apron=apron, is_hdr=False)
+    p1 = warp_band.pack_band_context(c1, **kw)
+    p2 = warp_band.pack_band_context(c2, **kw)
+    args = (flow, jnp.float32(0.625), jnp.float32(0.0), jnp.float32(255.0))
+    want = warp_band.warp_frame_band(c1, c2, *args, mode=2, interpret=True,
+                                     **kw)
+    got = warp_band.warp_frame_band(p1, p2, *args, mode=2, interpret=True,
+                                    apron_eff=32, **kw)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
+
+
+def test_pick_apron():
+    pick = warp_band.pick_apron
+    assert pick(None, 576) == 576          # unknown bound -> full apron
+    assert pick(3, 576) == 32
+    assert pick(32, 576) == 32             # bound == tier is sound
+    assert pick(33, 576) == 64
+    assert pick(200, 576) == 256
+    assert pick(300, 576) == 576
+    assert pick(700, 576) == 576           # out of range -> full
+    assert pick(5, 32) == 32               # never exceeds the bucket apron
+    assert pick(40, 48) == 48
+
+
 def test_band_prepacked_context_identical(rng):
     """pack_band_context pre-packs the u32 source layout per source frame;
     warp_frame_band must produce byte-identical output consuming the packed
