@@ -397,7 +397,6 @@ class OpticalFlowEngine:
         out = self._run_pyramid(ctx1, f1y, f1uv, f2y, f2uv,
                                 num_layers=num_layers, apron=apron, plan=plan)
         sig = np.asarray(out[3])   # forces completion (honest timing)
-        self._last_flow_bound = flow_strip.sig_flow_bound(sig)
         bad = flow_strip.first_invalid_step(
             plan, sig, self.low_h, self.low_w, self.num_iterations)
         if bad is not None:
@@ -408,6 +407,9 @@ class OpticalFlowEngine:
                                     num_layers=num_layers, apron=apron,
                                     plan=plan)
             sig = np.asarray(out[3])
+        # Warp apron certificate: maxabs of the flow this pair SETTLED on
+        # (the rerun's sig when the plan was repaired).
+        self._last_flow_bound = flow_strip.sig_flow_bound(sig)
         if flow_strip.uniform_fits(ctx1, low_h=self.low_h, low_w=self.low_w,
                                    res_scalar=self.res_scalar,
                                    apron=self._apron):
@@ -515,12 +517,21 @@ class OpticalFlowEngine:
         black, white = self._levels()
         if self.use_warp_band and mode in (0, 1, 2) and wctx0 is not None:
             self.warp_apron_used = warp_band.pick_apron(flow_bound, apron)
+            # Chain bounds from the same certificate: a subtile's row residual
+            # spread is <= 2*bound + 7, so (32,32) routes EVERY subtile
+            # through the select-chain fast path on scattered flow up to
+            # |flow| <= 12 (the adversarial regime that otherwise rides
+            # per-cell chains); (16,16) stays the converged-content default.
+            cb = (16, 16)
+            if flow_bound is not None and 16 < 2 * flow_bound + 8 <= 32:
+                cb = (32, 32)
+            self.warp_chain_bounds = cb
             return warp_band.warp_frame_band(
                 wctx0, wctx1, flow,
                 jnp.float32(blending_scalar), jnp.float32(black), jnp.float32(white),
                 res_scalar=self.res_scalar, mode=mode, is_hdr=self.is_hdr,
                 dim_y=self.h, dim_x=self.w, apron=apron,
-                apron_eff=self.warp_apron_used,
+                apron_eff=self.warp_apron_used, chain_bounds=cb,
                 interpret=self._band_interpret,
             )
         if self.use_warp_strips and mode in (0, 1, 2) and wctx0 is not None:

@@ -60,8 +60,11 @@ U32 = jnp.uint32
 # blurred (8x8 box) flow fields; the H select chain's cost is linear in both.
 RES_V = 16
 RES_H = 16
-RV = RES_V + 8            # rows loaded per fast-path window
-WW = 384                  # fast-path window lanes (roll domain; >= 128+RES_H+1+ramt)
+RV = RES_V + 8            # rows loaded per fast-path window (default bounds)
+# Band-scratch row slack: must cover the WIDEST supported fast window
+# (res_v=32 -> the window load at the clamped max start reaches rows+res_v).
+RV_SLACK = 40
+WW = 384                  # fast-path window lanes (roll domain; >= 128+res_h+1+ramt)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -485,11 +488,13 @@ def _band_call(disp, fscal, fs, lev, fmap, src12, src21, *, cell,
         out_shape=jax.ShapeDtypeStruct((n_bands * band_rows,
                                         n_tiles * tile_w32), U32),
         scratch_shapes=[
-            # +RV rows: cell/window fetches load up to RV sublanes from an
-            # 8-aligned start, which can overrun the filled band (garbage rows
-            # are rolled/masked away, but must not fault).
-            pltpu.VMEM((n_par, band_rows + 2 * a_rows + RV, c32_alloc), U32),
-            pltpu.VMEM((n_par, band_rows + 2 * a_rows + RV, c32_alloc), U32),
+            # +RV_SLACK rows: cell/window fetches load up to res_v+8 sublanes
+            # from an 8-aligned start, which can overrun the filled band
+            # (garbage rows are rolled/masked away, but must not fault).
+            pltpu.VMEM((n_par, band_rows + 2 * a_rows + RV_SLACK, c32_alloc),
+                       U32),
+            pltpu.VMEM((n_par, band_rows + 2 * a_rows + RV_SLACK, c32_alloc),
+                       U32),
             pltpu.SemaphoreType.DMA((2, n_par)),
         ],
         interpret=interpret,
@@ -633,8 +638,8 @@ def warp_frame_band(
     Outputs are bit-identical for every valid apron_eff."""
     assert mode in (0, 1, 2)
     res_v, res_h = chain_bounds
-    assert res_v in (8, 16) and res_h in (8, 16), chain_bounds
-    assert res_v <= RES_V and res_h <= RES_H  # scratch slack is RV-sized
+    assert res_v in (8, 16, 32) and res_h in (8, 16, 32), chain_bounds
+    assert res_v + 8 <= RV_SLACK   # fast window must fit the scratch slack
     rs = res_scalar
     a = apron
     aw = a if apron_eff is None else apron_eff

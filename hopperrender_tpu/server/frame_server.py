@@ -87,6 +87,9 @@ class ServerMetrics:
     peak_scene_change_delta2: int
     buffer_frames: int
     search_radius: int
+    # TPU-native extension (no ref out-param): the band warp's host-planned
+    # apron tier in use (== bucket apron when tiering is inactive).
+    warp_apron: int = 0
 
 
 class FrameServer:
@@ -300,4 +303,5 @@ class FrameServer:
             peak_scene_change_delta2=c.scene.peak_delta2,
             buffer_frames=self.settings.buffer_frames,
             search_radius=eng.search_radius if eng else config.MIN_SEARCH_RADIUS,
+            warp_apron=eng.warp_apron_used if eng else 0,
         )

@@ -40,6 +40,22 @@ def main():
             print("y mismatches:", np.argwhere(ys != yb)[:5])
             print("uv mismatches:", np.argwhere(uvs != uvb)[:5])
             sys.exit(1)
+    # Apron tier on hardware: shifted DMA origins must satisfy Mosaic's
+    # alignment rules AND stay bit-exact (interpret-mode equality is proven
+    # in tests/test_warp_band.py; this checks the real lowering).
+    bound = int(np.abs(flow).max())
+    aw = warp_band.pick_apron(bound, apron)
+    if aw < apron:
+        kw = dict(res_scalar=rs, mode=2, is_hdr=is_hdr, dim_y=h, dim_x=w,
+                  apron=apron)
+        want = [np.asarray(x) for x in warp_band.warp_frame_band(*args, **kw)]
+        got = [np.asarray(x) for x in warp_band.warp_frame_band(
+            *args, apron_eff=aw, **kw)]
+        ok = all(np.array_equal(a, b) for a, b in zip(want, got))
+        print(f"apron tier {aw} (full {apron}, bound {bound}): exact={ok}",
+              flush=True)
+        if not ok:
+            sys.exit(1)
     print("BAND KERNEL OK ON TPU", flush=True)
 
 if __name__ == "__main__":

@@ -80,17 +80,27 @@ def main() -> None:
                                                    ).astype(uv.dtype)
         return y, uv
 
-    # Tunnel RTT estimate: forced 1-element fetches of a trivial array.
+    # Per-dispatch overhead estimate: a trivial jitted call + forced
+    # 1-element fetch measures the tunnel's full fixed cost per engine call
+    # (dispatch RTT + fetch RTT) — the engine's recorded times each wrap ONE
+    # jitted computation + one fetch, so this is the per-call constant a
+    # real deployment host (µs dispatch) would not pay. Subtracting it feeds
+    # the scaler device-representative times; slope-method agreement is
+    # cross-checked against bench.py in PERF.md.
+    @jax.jit
+    def _noop(x):
+        return x + 1
+
     probe = jax.device_put(jnp.zeros((4,), jnp.int32), dev)
-    int(probe[0])
+    int(_noop(probe)[0])
     ts = []
     for _ in range(12):
         t0 = time.perf_counter()
-        int(probe[0])
+        int(_noop(probe)[0])
         ts.append(time.perf_counter() - t0)
     rtt = float(np.median(ts))
-    print(f"tunnel RTT estimate: {rtt * 1e3:.1f} ms (subtracted per fetch)",
-          flush=True)
+    print(f"per-dispatch overhead estimate: {rtt * 1e3:.1f} ms "
+          f"(subtracted per engine call)", flush=True)
 
     eng = OpticalFlowEngine(h, w, is_hdr=is_hdr)
     scaler = AutoQualityScaler(enabled=True)
@@ -125,6 +135,7 @@ def main() -> None:
         if i < 12 or i % 20 == 0:
             print(f"frame {i:4d}: radius {radii[-1]:2d} "
                   f"flow {ofc_ms[-1]:7.2f} ms warp {warp_ms[-1]:7.2f} ms "
+                  f"apron {eng.warp_apron_used:3d} "
                   f"mispredicts {eng.plan_mispredicts}", flush=True)
 
     wall = time.perf_counter() - t_start

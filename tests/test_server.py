@@ -164,9 +164,11 @@ def test_metrics_fields(rng):
     assert m.low_dim_x > 0 and m.low_dim_y > 0
     assert m.search_radius >= 5
     assert m.ofc_calc_time > 0.0
-    # All 23 GetCurrentSettings fields present (ref: iez.h:13-37).
+    # All 23 GetCurrentSettings fields present (ref: iez.h:13-37), plus the
+    # TPU-native warp_apron extension (band warp's host-planned tier).
     import dataclasses as dc
-    assert len(dc.fields(m)) == 23
+    assert len(dc.fields(m)) == 24
+    assert m.warp_apron >= 0
 
 
 def test_hdr_server(rng):

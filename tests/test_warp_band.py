@@ -172,13 +172,16 @@ def test_fast_tables_certify_smooth_flow():
     assert not bool((np.asarray(fscal2) < 0).all())
 
 
+@pytest.mark.parametrize("bounds", [(8, 8), (32, 32)])
 @pytest.mark.parametrize("is_hdr", [False, True])
 @pytest.mark.parametrize("flavor", ["smooth", "scattered", "mixed"])
-def test_band_short_chain_bounds_match_strip(rng, is_hdr, flavor):
-    """(8,8) chain bounds: identical outputs on every flow — the per-subtile
-    certificate is computed against the active bounds, so tighter bounds only
-    reroute subtiles to the per-cell slow path (never wrong pixels). Covers
-    all-fast (uniform flow), all-slow (scattered), and the mixed boundary."""
+def test_band_short_chain_bounds_match_strip(rng, is_hdr, flavor, bounds):
+    """Non-default chain bounds: identical outputs on every flow — the
+    per-subtile certificate is computed against the active bounds. (8,8)
+    reroutes wide subtiles to the per-cell slow path; (32,32) certifies
+    scattered flow (spread <= 24+7) through the fast path — the adversarial
+    noise-content lever. Covers all-fast (uniform flow), widely scattered,
+    and the mixed boundary."""
     h, w, rs, apron = 64, 128, 2, 32
     low_h, low_w = h >> rs, w >> rs
     c1, c2, _ = build_inputs(rng, h, w, rs, is_hdr, apron, max_mag=1)
@@ -196,7 +199,7 @@ def test_band_short_chain_bounds_match_strip(rng, is_hdr, flavor):
     (ys, uvs), (yb, uvb) = run_both(c1, c2, flow, 0.375, black, white,
                                     rs=rs, mode=2, is_hdr=is_hdr,
                                     h=h, w=w, apron=apron,
-                                    chain_bounds=(8, 8))
+                                    chain_bounds=bounds)
     np.testing.assert_array_equal(yb, ys)
     np.testing.assert_array_equal(uvb, uvs)
 
@@ -282,3 +285,58 @@ def test_band_prepacked_context_identical(rng):
     got2 = warp_band.warp_frame_band(stale, p2, *args, mode=2, interpret=True,
                                      **kw)
     np.testing.assert_array_equal(np.asarray(got2[0]), np.asarray(want[0]))
+
+
+def test_chain32_certifies_scattered_noise_flow(rng):
+    """The adversarial-content claim behind (32,32) bounds: random |flow|<=12
+    (bench.py --flow-content random) must certify EVERY subtile's fast path —
+    row residual spread <= 2*12+7 < 32 — so noise content never rides the
+    per-cell slow chains. Checked through the real table builder on a 4K-like
+    band geometry (rs=3 HDR)."""
+    import jax.numpy as jnp
+
+    h, w, rs, is_hdr, apron = 256, 512, 3, True, 64
+    low_h, low_w = h >> rs, w >> rs
+    flow = jnp.asarray(
+        rng.integers(-12, 13, (2, low_h, low_w)).astype(np.int16))
+    y1, uv1 = make_frame(rng, h, w, is_hdr)
+    c1 = warp_strip.build_warp_context(jnp.asarray(y1), jnp.asarray(uv1),
+                                       apron=apron, is_hdr=is_hdr)
+    # debug_prep_only forces the XLA table computation without the kernel.
+    # Instead of running it, reach for the tables directly: replicate the
+    # warp's Y-plane table build at chain_bounds=(32,32).
+    from hopperrender_tpu.ops.warp_strip import _cell_displacements
+    geoms = warp_band._geometries(res_scalar=rs, is_hdr=is_hdr, dim_y=h,
+                                  dim_x=w, apron=apron,
+                                  vmem_budget=10 << 20)
+    (cell, per32, w32, gy), _ = geoms
+    band_rows, n_tiles, c32_full, _ = gy
+    tile_w32 = w32 // n_tiles
+    # t near 1: dy12 = round(flow * t) spans the full +-12, so the
+    # per-subtile row spread is 24 and the 8-align slack pushes residuals to
+    # 31 — the exact (32,32) boundary. (At t=0.5 displacements halve and even
+    # (16,16) certifies; the tier matters at the cadence's outer phases.)
+    dx12, dy12, *_ = _cell_displacements(flow, jnp.float32(0.96875), rs,
+                                         low_h, low_w)
+    n_cy, n_cx = h // cell, w // cell
+    cpt = (tile_w32 * per32) // cell
+    row_idx = np.clip(np.arange(n_cy), 0, low_h - 1)
+    col_idx = np.clip(np.arange(n_cx), 0, low_w - 1)
+    dyc = np.asarray(dy12)[row_idx][:, col_idx]
+    dxc = np.asarray(dx12)[row_idx][:, col_idx]
+    cx_in_tile = np.arange(n_cx) % cpt
+    r = jnp.asarray(dyc + apron)
+    p = jnp.asarray(cx_in_tile[None, :] * cell + dxc + apron)
+    _, fscal = warp_band._fast_tables(
+        r, p, None, cell=cell, per32=per32, cb=cell // per32,
+        cps=(128 * per32) // cell, band_rows=band_rows, n_tiles=n_tiles,
+        cpt=cpt, c32_alloc=512, res_v=32, res_h=32)
+    ok_frac = float((np.asarray(fscal) < 0).mean())
+    assert ok_frac == 1.0, f"only {ok_frac:.2%} of subtiles certified"
+    # And at the (16,16) default the SAME flow must fail broadly (the reason
+    # the tier exists).
+    _, fscal16 = warp_band._fast_tables(
+        r, p, None, cell=cell, per32=per32, cb=cell // per32,
+        cps=(128 * per32) // cell, band_rows=band_rows, n_tiles=n_tiles,
+        cpt=cpt, c32_alloc=512, res_v=16, res_h=16)
+    assert float((np.asarray(fscal16) < 0).mean()) < 0.5
