@@ -96,3 +96,39 @@ def test_engine_warp_apron_tier_streamed():
     for (ay, auv), (by, buv) in zip(outs, full_outs):
         np.testing.assert_array_equal(ay, by)
         np.testing.assert_array_equal(auv, buv)
+
+
+def test_engine_chain_bounds_pick_rule():
+    """The engine's host-side chain-bounds rule: (32,32) engages exactly when
+    the certified bound implies residual spreads past (16,16)'s certificate
+    (16 < 2b+8 <= 32), and the warp stays bit-identical to the strip twin
+    under the widened bounds."""
+    from hopperrender_tpu.ops import warp_strip
+
+    h, w = 64, 128
+    eng = flow_engine.OpticalFlowEngine(h, w, is_hdr=False, max_calc_res=16)
+    eng.search_radius = hcfg.MAX_SEARCH_RADIUS
+    eng._refresh_geometry()
+    eng.use_warp_band = True
+    eng._band_interpret = True
+    rng = np.random.default_rng(11)
+    y0, uv0 = nv12.synthetic_frame(rng, h, w, is_hdr=False)
+    y1, uv1 = nv12.synthetic_frame(rng, h, w, is_hdr=False)
+    import jax.numpy as jnp
+    w0 = eng._build_wctx(jnp.asarray(y0), jnp.asarray(uv0))
+    w1 = eng._build_wctx(jnp.asarray(y1), jnp.asarray(uv1))
+    flow = jnp.asarray(
+        rng.integers(-12, 13, (2, eng.low_h, eng.low_w)).astype(np.int16))
+
+    for bound, want_cb in ((2, (16, 16)), (4, (16, 16)), (5, (32, 32)),
+                           (12, (32, 32)), (13, (16, 16)), (None, (16, 16))):
+        oy, ouv = eng._run_warp(w0, w1, None, None, flow, 0.96875, 2,
+                                apron=eng._apron, flow_bound=bound)
+        assert eng.warp_chain_bounds == want_cb, (bound, eng.warp_chain_bounds)
+        if bound == 12:
+            sy, suv = warp_strip.warp_frame_strip(
+                w0, w1, flow, jnp.float32(0.96875), jnp.float32(0.0),
+                jnp.float32(255.0), res_scalar=eng.res_scalar, mode=2,
+                is_hdr=False, dim_y=h, dim_x=w, apron=eng._apron)
+            np.testing.assert_array_equal(np.asarray(oy), np.asarray(sy))
+            np.testing.assert_array_equal(np.asarray(ouv), np.asarray(suv))
