@@ -32,11 +32,15 @@ white = 65280.0 if is_hdr else 255.0
 salt_dtype = jnp.uint16 if is_hdr else jnp.uint8
 if which.startswith("band"):
     # "band" = default (16,16) chains; "band8" = (8,8) short chains;
+    # "band32" = (32,32) wide chains (the adversarial-content tier);
+    # "bandtier" = apron tier 32 (the converged-content DMA cut; sound here:
+    # both flow flavors are bounded by 12+1+k <= 16 <= 32);
     # "bandprep" = XLA table/packing prep only (no Pallas call) for cost
     # attribution: kernel cost = band - bandprep.
-    bounds = (8, 8) if which == "band8" else (16, 16)
+    bounds = {"band8": (8, 8), "band32": (32, 32)}.get(which, (16, 16))
     fn = functools.partial(warp_band.warp_frame_band, chain_bounds=bounds,
-                           debug_prep_only=which == "bandprep")
+                           debug_prep_only=which == "bandprep",
+                           apron_eff=32 if which == "bandtier" else None)
 else:
     fn = warp_strip.warp_frame_strip
 
