@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import threading
+import time
 
 import numpy as np
 
@@ -72,6 +73,12 @@ class PipelinedServer:
         self._seq = 0
         self.stats = PipelineStats()
         self._error: BaseException | None = None
+        # Engine-call heartbeat: device runtimes can HANG (not die) — e.g. a
+        # dropped accelerator transport blocks the dispatch RPC forever with
+        # no exception for the worker-death propagation to surface. The
+        # engine thread stamps _busy_since around each push_frame so the
+        # host can detect a wedged device call and report unhealthy.
+        self._busy_since: float | None = None
         self._worker = threading.Thread(target=self._run, name="hrt-engine", daemon=True)
         self._worker.start()
 
@@ -151,8 +158,12 @@ class PipelinedServer:
                 h = int(meta[1]) or self.server.height
                 w = int(meta[2]) or self.server.width
                 y, uv = native_unpack(buf, h, w, is_hdr=self.server.is_hdr)
-                for out in self.server.push_frame(y, uv, pts=pts):
-                    self._emit(out)
+                self._busy_since = time.monotonic()
+                try:
+                    for out in self.server.push_frame(y, uv, pts=pts):
+                        self._emit(out)
+                finally:
+                    self._busy_since = None
         except BaseException as e:  # surfaced to both producer and consumer
             self._error = e
             log.error("engine thread failed: %s", e)
@@ -187,6 +198,22 @@ class PipelinedServer:
             with self._meta_lock:
                 out = self._out_meta.pop(meta[0])
             yield out
+
+    def stall_seconds(self) -> float:
+        """How long the engine thread has been inside ONE push_frame call
+        (0.0 when idle/between frames). A large value means the device call
+        itself is wedged — the failure mode a dead accelerator transport
+        produces (it blocks rather than raising)."""
+        t = self._busy_since
+        return 0.0 if t is None else max(0.0, time.monotonic() - t)
+
+    def healthy(self, stall_limit: float = 30.0) -> bool:
+        """False once the engine thread failed OR a single device call has
+        been stuck past stall_limit seconds. Serving hosts poll this (ref
+        analogue: the filter's TooSlow state is a per-frame budget check,
+        HopperRender.cpp:1438-1463; this catches the hang class the budget
+        check cannot see)."""
+        return self._error is None and self.stall_seconds() < stall_limit
 
     def join(self) -> None:
         self._worker.join()

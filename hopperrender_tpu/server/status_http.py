@@ -7,7 +7,9 @@ a tiny stdlib HTTP endpoint on a background thread:
   GET  /metrics   -> JSON ServerMetrics snapshot (the 23 GetCurrentSettings fields)
   GET  /settings  -> JSON persisted-settings view
   POST /settings  -> JSON body of Settings fields; applied live (UpdateUserSettings)
-  GET  /healthz   -> 200 ok
+  GET  /healthz   -> 200 ok / 503 wedged (engine-thread heartbeat when a
+                     PipelinedServer is attached: detects device calls that
+                     HANG, e.g. a dead accelerator transport)
 
 No external dependencies; intended for dashboards/curl, not the public internet.
 """
@@ -25,7 +27,7 @@ from hopperrender_tpu.utils.logging import get_logger
 log = get_logger("status_http")
 
 
-def _make_handler(server: FrameServer):
+def _make_handler(server: FrameServer, pipeline=None):
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload) -> None:
             body = json.dumps(payload, indent=2).encode()
@@ -41,7 +43,15 @@ def _make_handler(server: FrameServer):
             elif self.path == "/settings":
                 self._send(200, dataclasses.asdict(server.settings))
             elif self.path == "/healthz":
-                self._send(200, {"status": "ok"})
+                if pipeline is not None and not pipeline.healthy():
+                    self._send(503, {
+                        "status": "wedged",
+                        "stall_seconds": round(pipeline.stall_seconds(), 1),
+                        "engine_error": repr(pipeline._error)
+                        if pipeline._error else None,
+                    })
+                else:
+                    self._send(200, {"status": "ok"})
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 
@@ -71,8 +81,10 @@ def _make_handler(server: FrameServer):
 class StatusServer:
     """Background status endpoint bound to (host, port); port 0 picks a free port."""
 
-    def __init__(self, server: FrameServer, host: str = "127.0.0.1", port: int = 0):
-        self._httpd = ThreadingHTTPServer((host, port), _make_handler(server))
+    def __init__(self, server: FrameServer, host: str = "127.0.0.1", port: int = 0,
+                 pipeline=None):
+        self._httpd = ThreadingHTTPServer((host, port),
+                                          _make_handler(server, pipeline))
         self.host, self.port = self._httpd.server_address[:2]
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, name="hrt-status-http", daemon=True)

@@ -116,3 +116,55 @@ def test_pipelined_server_strip_path(rng):
     assert server.engine.use_strips and server.engine.use_warp_strips
     assert any(o.interpolated for o in outs)
     assert outs[0].y.shape == (h, w)
+
+
+def test_pipelined_server_wedged_device_detection(rng):
+    """Failure-detection depth: a device call that HANGS (dead accelerator
+    transport — it blocks inside dispatch rather than raising) must flip
+    healthy() False via the engine-call heartbeat, while a live pipeline
+    reports healthy. The /healthz endpoint surfaces it as 503."""
+    import json
+    import time as _time
+    import urllib.request
+
+    from hopperrender_tpu.server.status_http import StatusServer
+
+    server = FrameServer(48, 32, source_fps=24.0,
+                         settings=Settings(target_fps=60.0,
+                                           use_display_fps=False))
+    pipe = PipelinedServer(server, input_slots=2, output_slots=4)
+    status = StatusServer(server, pipeline=pipe)
+    url = f"http://{status.host}:{status.port}/healthz"
+    try:
+        assert pipe.healthy() and pipe.stall_seconds() == 0.0
+        assert urllib.request.urlopen(url).status == 200
+
+        # Simulate the wedge: push_frame blocks until released.
+        gate = __import__("threading").Event()
+        orig = server.push_frame
+        server.push_frame = lambda *a, **kw: (gate.wait(), orig(*a, **kw))[1]
+        y, uv = nv12.synthetic_frame(rng, 32, 48)
+        pipe.feed(y, uv)
+        for _ in range(200):          # wait for the worker to enter the call
+            if pipe.stall_seconds() > 0.01:
+                break
+            _time.sleep(0.01)
+        assert pipe.stall_seconds() > 0.01
+        assert not pipe.healthy(stall_limit=0.005)
+        assert pipe.healthy(stall_limit=60.0)  # within budget still healthy
+        # /healthz goes 503 with the stall age once past the default limit.
+        pipe_healthy_default = pipe.healthy()
+        try:
+            urllib.request.urlopen(url)
+            code, body = 200, None
+        except urllib.error.HTTPError as e:
+            code, body = e.code, json.loads(e.read())
+        assert (code == 200) == pipe_healthy_default
+        gate.set()
+        pipe.close()
+        list(pipe.outputs(timeout=30))  # drains after release
+        pipe.join()
+        assert pipe.healthy()
+    finally:
+        gate.set()
+        status.close()
