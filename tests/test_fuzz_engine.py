@@ -60,3 +60,54 @@ def test_engine_fuzz_vs_golden(h, w, mcr, is_hdr, radius, mode, seed):
                           - gy.astype(np.int64)).max() <= tol, f"warp Y frame {i}"
             assert np.abs(np.asarray(euv).astype(np.int64)
                           - guv.astype(np.int64)).max() <= tol, f"warp UV frame {i}"
+
+
+BAND_TIER_CASES = [
+    # (h, w, rs, is_hdr, apron, apron_eff, bounds, max_mag, t, seed)
+    (64, 128, 2, False, 64, 32, (16, 16), 31, 0.375, 10),
+    (64, 128, 2, True, 96, 32, (32, 32), 12, 0.96875, 11),
+    (64, 256, 3, False, 64, 32, (32, 32), 12, 0.7, 12),
+    (64, 256, 3, True, 128, 64, (16, 16), 60, 0.25, 13),
+    (128, 128, 2, False, 160, 32, (8, 8), 25, 0.5, 14),
+    (64, 128, 3, True, 320, 256, (32, 32), 200, 1.0, 15),
+]
+
+
+@pytest.mark.parametrize("h,w,rs,is_hdr,apron,aw,bounds,mag,t,seed",
+                         BAND_TIER_CASES)
+def test_band_fuzz_apron_tier_chain_bounds(h, w, rs, is_hdr, apron, aw,
+                                           bounds, mag, t, seed):
+    """Fuzz the new static parameters jointly: every (apron_eff, chain_bounds)
+    pair must stay bit-identical to the strip twin across geometries, parities
+    (odd lane-shift residues), bit depths, and displacement magnitudes up to
+    the tier bound."""
+    import jax.numpy as jnp
+    from hopperrender_tpu.ops import warp_band, warp_strip
+
+    rng = np.random.default_rng(seed)
+    low_h, low_w = h >> rs, w >> rs
+    peak = 65536 if is_hdr else 256
+    dt = np.uint16 if is_hdr else np.uint8
+    y1 = rng.integers(0, peak, (h, w), dtype=dt)
+    uv1 = rng.integers(0, peak, (h // 2, w), dtype=dt)
+    y2 = rng.integers(0, peak, (h, w), dtype=dt)
+    uv2 = rng.integers(0, peak, (h // 2, w), dtype=dt)
+    assert mag <= aw, "fuzz case must respect the tier soundness contract"
+    flow = jnp.asarray(rng.integers(-mag, mag + 1,
+                                    (2, low_h, low_w)).astype(np.int16))
+    c1 = warp_strip.build_warp_context(jnp.asarray(y1), jnp.asarray(uv1),
+                                       apron=apron, is_hdr=is_hdr)
+    c2 = warp_strip.build_warp_context(jnp.asarray(y2), jnp.asarray(uv2),
+                                       apron=apron, is_hdr=is_hdr)
+    kw = dict(res_scalar=rs, is_hdr=is_hdr, dim_y=h, dim_x=w, apron=apron)
+    p1 = warp_band.pack_band_context(c1, **kw)
+    p2 = warp_band.pack_band_context(c2, **kw)
+    args = (flow, jnp.float32(t), jnp.float32(16.0 * (256 if is_hdr else 1)),
+            jnp.float32(235.0 * (256 if is_hdr else 1)))
+    for mode in (0, 2):
+        want = warp_strip.warp_frame_strip(c1, c2, *args, mode=mode, **kw)
+        got = warp_band.warp_frame_band(p1, p2, *args, mode=mode,
+                                        interpret=True, apron_eff=aw,
+                                        chain_bounds=bounds, **kw)
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+        np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
