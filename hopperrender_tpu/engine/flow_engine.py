@@ -25,6 +25,7 @@ and neighbor scalars, blending scalar, levels) so no re-jit happens during strea
 from __future__ import annotations
 
 import functools
+import os
 import time
 
 import jax
@@ -37,6 +38,16 @@ from hopperrender_tpu.ops import flow_strip
 from hopperrender_tpu.ops import warp as warp_ops
 from hopperrender_tpu.ops import warp_band
 from hopperrender_tpu.ops import warp_strip
+
+
+def _band_rs_enabled(res_scalar: int) -> bool:
+    """Band-kernel routing gate per res_scalar. rs >= 2 is chip-proven; the
+    rs=1 layout (480p class, 2-px cells via the 16-bit slot packing) is
+    bit-exact in interpret mode (tests/test_warp_band.py) but its Mosaic
+    lowering has not yet run on hardware (sub_per=4 groups are new), so it is
+    opt-in until scripts/tpu_band_check.py rs1 passes on chip — then flip
+    this default (ROADMAP round-4 item)."""
+    return res_scalar >= 2 or os.environ.get("HRT_BAND_RS1") == "1"
 
 
 def estimate_hbm_bytes(frame_height: int, frame_width: int, *, is_hdr: bool,
@@ -68,8 +79,9 @@ def estimate_hbm_bytes(frame_height: int, frame_width: int, *, is_hdr: bool,
         # Worst case / TPU deployment default: the engine pre-packs the band
         # kernel's u32 source layout into each warp context wherever the band
         # geometry is valid (flow_engine._build_wctx).
-        warp_band_packed = rs >= 1 and warp_band.band_geometry_ok(
-            res_scalar=rs, is_hdr=is_hdr, dim_y=h, dim_x=w, apron=a)
+        warp_band_packed = (rs >= 1 and _band_rs_enabled(rs)
+                            and warp_band.band_geometry_ok(
+            res_scalar=rs, is_hdr=is_hdr, dim_y=h, dim_x=w, apron=a))
 
     if rs >= 1:
         flow_ctx = tree_bytes(jax.eval_shape(
@@ -233,6 +245,7 @@ class OpticalFlowEngine:
         self.use_warp_band = (
             self.use_warp_strips
             and self._device.platform == "tpu"
+            and _band_rs_enabled(self.res_scalar)
             and warp_band.band_geometry_ok(
                 res_scalar=self.res_scalar, is_hdr=is_hdr,
                 dim_y=self.h, dim_x=self.w, apron=self._apron)

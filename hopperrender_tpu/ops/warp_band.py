@@ -192,7 +192,7 @@ def _merge_cells_kernel(
     c32: int, c32_alloc: int, tile_w32: int, mode: int, is_hdr: bool,
     is_uv: bool, n_par: int, cpt: int, nk: int, xdiv8: int, sdiv8: int,
     res_v: int = RES_V, res_h: int = RES_H,
-    row_shift: int = 0, lane_shift: int = 0,
+    row_shift: int = 0, lane_shift: int = 0, slot16: bool = False,
 ):
     """Kernel factory. Refs:
       disp_ref  SMEM (1, 8, cpb*cpt*nk/8) int32, flattened per-cell records of
@@ -217,12 +217,17 @@ def _merge_cells_kernel(
     cps = (128 * per32) // cell       # cells per 128-lane output subtile
     n_sub = tile_w32 // 128
     fbits = 32 // per32               # packed sub-unit width for the realign
-    ebits = 16 if is_hdr else 8       # element width (Y sample / UV byte)
+    # Element SLOT width in the packed lanes. slot16: SDR samples zero-extended
+    # to 16-bit slots (the res_scalar-1 Y layout, where 4 samples/u32 would put
+    # two 2-px cells in one lane) — values stay 0..255, so SDR blend/levels
+    # semantics apply unchanged; only the slot walk widens.
+    ebits = 16 if (is_hdr or slot16) else 8
+
     n_groups = (band_rows // 8) * n_sub
 
     def kernel(disp_ref, fscal_ref, fs_ref, lev_ref, fmap_ref,
                src12_ref, src21_ref, out_ref, band12, band21, sem):
-        emask = U32(0xFFFF if is_hdr else 0xFF)
+        emask = U32(0xFFFF if (is_hdr or slot16) else 0xFF)
         lane = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 1)
         row_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         b = pl.program_id(0)
@@ -442,7 +447,8 @@ def _merge_cells_kernel(
 def _band_call(disp, fscal, fs, lev, fmap, src12, src21, *, cell,
                per32, cb, band_rows, a_rows, c32, c32_alloc, tile_w32, n_tiles,
                out_rows, mode, is_hdr, is_uv, n_par, interpret,
-               res_v=RES_V, res_h=RES_H, row_shift=0, lane_shift=0):
+               res_v=RES_V, res_h=RES_H, row_shift=0, lane_shift=0,
+               slot16=False):
     n_bands = -(-out_rows // band_rows)
     cpb, cpt, k = disp.shape[2:]
     xdiv8 = cpb * cpt * k // 8
@@ -454,7 +460,7 @@ def _band_call(disp, fscal, fs, lev, fmap, src12, src21, *, cell,
         c32=c32, c32_alloc=c32_alloc, tile_w32=tile_w32, mode=mode,
         is_hdr=is_hdr, is_uv=is_uv, n_par=n_par, cpt=cpt, nk=k, xdiv8=xdiv8,
         sdiv8=sdiv8, res_v=res_v, res_h=res_h,
-        row_shift=row_shift, lane_shift=lane_shift)
+        row_shift=row_shift, lane_shift=lane_shift, slot16=slot16)
     disp = disp.reshape(disp.shape[0], disp.shape[1] * 8, xdiv8)
     # fscal: (n_gr_total, n_tiles, n_sub, 2) -> (nb, nt*8, sdiv8)
     n_sub = tile_w32 // 128
@@ -503,15 +509,20 @@ def _band_call(disp, fscal, fs, lev, fmap, src12, src21, *, cell,
 
 def _geometries(*, res_scalar: int, is_hdr: bool, dim_y: int, dim_x: int,
                 apron: int, vmem_budget: int):
-    """Static Y/UV band geometries, or None when unsupported."""
+    """Static Y/UV band geometries, or None when unsupported.
+
+    res_scalar 1 (2-px cells, the 480p class): the Y plane packs 2 samples
+    per u32 lane so each lane belongs to ONE cell (cb=1) — native u16 pairs
+    for HDR, 8->16-bit SLOT packing for SDR (slot16; 2x the minimal bytes,
+    still far below the strip path's degenerate 2-px segment cost)."""
     rs = res_scalar
-    if rs < 2 or rs > 3:
+    if rs < 1 or rs > 3:
         return None
     cell = 1 << rs
     a = apron
     if dim_y % cell or dim_x % cell or a % 16:
         return None
-    per32 = 2 if is_hdr else 4
+    per32 = 2 if (is_hdr or rs == 1) else 4
     w32 = _round_up(dim_x, per32 * 128) // per32
     gy = _choose_geometry(dim_y, w32, a, a // per32, cell // per32,
                           vmem_budget, 2)
@@ -589,7 +600,10 @@ def pack_band_context(wctx: dict, *, res_scalar: int, is_hdr: bool,
     (min_w32, min_rows_y), (min_w32c, min_rows_c) = _pack_params(
         geoms, dim_y=dim_y, apron=apron)
     a, ac = apron, apron // 2
-    wpack_y = _pack_u32(wctx["wpad_y"], per32, min_w32, min_rows_y)[None]
+    wy = wctx["wpad_y"]
+    if res_scalar == 1 and not is_hdr:   # slot16 Y layout (see _geometries)
+        wy = wy.astype(jnp.uint16)
+    wpack_y = _pack_u32(wy, per32, min_w32, min_rows_y)[None]
     puv = wctx["wpad_uv"]
     puv = puv[:, a - ac:puv.shape[1] - (a - ac)]
     wpack_uv = jnp.stack([_pack_u32(puv[0], per32c, min_w32c, min_rows_c),
@@ -650,6 +664,7 @@ def warp_frame_band(
     assert geoms is not None, "unsupported band geometry (use warp_strip)"
     (cell, per32, w32, gy), (per32c, w32c, gc) = geoms
     dtype = jnp.uint16 if is_hdr else jnp.uint8
+    slot16 = rs == 1 and not is_hdr      # see _geometries
 
     t = jnp.asarray(blending_scalar, F32)
     dx12, dy12, dx21, dy21, dy12_uv, dy21_uv = _cell_displacements(
@@ -721,7 +736,10 @@ def warp_frame_band(
         pk = ctx.get("wpack_y")
         if pk is not None and pk.shape == (1, min_rows_y, min_w32):
             return pk        # pre-packed per source (pack_band_context)
-        return _pack_u32(ctx["wpad_y"], per32, min_w32, min_rows_y)[None]
+        wy = ctx["wpad_y"]
+        if slot16:
+            wy = wy.astype(jnp.uint16)
+        return _pack_u32(wy, per32, min_w32, min_rows_y)[None]
 
     src12y = y_src(wctx12)
     src21y = y_src(wctx21)
@@ -738,9 +756,10 @@ def warp_frame_band(
             c32_alloc=c32_alloc, tile_w32=tile_w32, n_tiles=n_tiles,
             out_rows=dim_y, mode=mode, is_hdr=is_hdr, is_uv=False, n_par=1,
             interpret=interpret, res_v=res_v, res_h=res_h,
-            row_shift=row_shift_y, lane_shift=lane_shift_y)
-        y = jax.lax.bitcast_convert_type(outy, dtype).reshape(
-            outy.shape[0], -1)[:dim_y, :dim_x]
+            row_shift=row_shift_y, lane_shift=lane_shift_y, slot16=slot16)
+        y = jax.lax.bitcast_convert_type(
+            outy, jnp.uint16 if slot16 else dtype).reshape(
+            outy.shape[0], -1)[:dim_y, :dim_x].astype(dtype)
 
     # ---- UV plane (pair elements; parity-stacked planes) ----------------------
     band_c, n_tiles_c, c32c_full, _ = gc

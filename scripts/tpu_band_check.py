@@ -14,6 +14,10 @@ def main():
         rs = 3
     if "4k" in sys.argv:   # full 4K geometry (the served headline config)
         h, w, rs, apron = 2160, 3840, 3, 48
+    if "rs1" in sys.argv:  # 480p class: 2-px cells, slot16 Y layout (SDR).
+        # Passing here on hardware is the gate for flipping
+        # flow_engine._band_rs_enabled's rs=1 default (HRT_BAND_RS1).
+        h, w, rs, apron = 480, 854, 1, 48
     dt = np.uint16 if is_hdr else np.uint8
     hi = 65536 if is_hdr else 256
     low_h, low_w = h >> rs, w >> rs

@@ -90,8 +90,11 @@ def test_band_geometry_predicate():
     assert ok(res_scalar=3, is_hdr=True, dim_y=2160, dim_x=3840, apron=576)
     assert ok(res_scalar=3, is_hdr=False, dim_y=2160, dim_x=3840, apron=576)
     assert ok(res_scalar=2, is_hdr=False, dim_y=1080, dim_x=1920, apron=576)
-    # res_scalar < 2 keeps the strip path.
-    assert not ok(res_scalar=1, is_hdr=False, dim_y=480, dim_x=854, apron=576)
+    # res_scalar 1 (480p class) is geometrically valid via the slot16 layout;
+    # the ENGINE additionally gates it behind flow_engine._band_rs_enabled
+    # until the Mosaic lowering is chip-validated (tpu_band_check.py rs1).
+    assert ok(res_scalar=1, is_hdr=False, dim_y=480, dim_x=854, apron=576)
+    assert not ok(res_scalar=0, is_hdr=False, dim_y=240, dim_x=426, apron=32)
 
 
 def _smooth_flow(rng, low_h, low_w, base=(9, -13), wobble=1):
@@ -340,3 +343,38 @@ def test_chain32_certifies_scattered_noise_flow(rng):
         cps=(128 * per32) // cell, band_rows=band_rows, n_tiles=n_tiles,
         cpt=cpt, c32_alloc=512, res_v=16, res_h=16)
     assert float((np.asarray(fscal16) < 0).mean()) < 0.5
+
+
+@pytest.mark.parametrize("is_hdr", [False, True])
+@pytest.mark.parametrize("mode", [0, 1, 2])
+def test_band_res_scalar1_matches_strip(rng, is_hdr, mode):
+    """res_scalar 1 (the 480p class, 2-px cells): HDR packs natively (2 u16
+    per lane -> one cell per lane); SDR uses the 16-bit slot layout. Both
+    must be bit-exact vs the strip twin — this is the layout that makes the
+    band kernel cover EVERY production config's modes 0/1/2."""
+    h, w, apron, rs = 64, 256, 32, 1
+    c1, c2, flow = build_inputs(rng, h, w, rs, is_hdr, apron, max_mag=25)
+    black = 16.0 * (256 if is_hdr else 1)
+    white = 235.0 * (256 if is_hdr else 1)
+    (ys, uvs), (yb, uvb) = run_both(c1, c2, flow, 0.375, black, white,
+                                    rs=rs, mode=mode, is_hdr=is_hdr,
+                                    h=h, w=w, apron=apron)
+    np.testing.assert_array_equal(yb, ys)
+    np.testing.assert_array_equal(uvb, uvs)
+
+
+def test_band_res_scalar1_prepack_tier(rng):
+    """rs=1 with the production extras stacked: per-source pre-pack consumed
+    + apron tier + (32,32) chain bounds, bit-exact vs strip."""
+    h, w, apron, rs = 64, 256, 64, 1
+    c1, c2, flow = build_inputs(rng, h, w, rs, False, apron, max_mag=12)
+    kw = dict(res_scalar=rs, is_hdr=False, dim_y=h, dim_x=w, apron=apron)
+    p1 = warp_band.pack_band_context(c1, **kw)
+    p2 = warp_band.pack_band_context(c2, **kw)
+    assert "wpack_y" in p1
+    args = (flow, jnp.float32(0.96875), jnp.float32(0.0), jnp.float32(255.0))
+    want = warp_strip.warp_frame_strip(c1, c2, *args, mode=2, **kw)
+    got = warp_band.warp_frame_band(p1, p2, *args, mode=2, interpret=True,
+                                    apron_eff=32, chain_bounds=(32, 32), **kw)
+    np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
