@@ -309,6 +309,7 @@ class OpticalFlowEngine:
         if rebuilt and self.use_warp_strips:
             self.use_warp_band = (
                 self._device.platform == "tpu"
+                and _band_rs_enabled(self.res_scalar)
                 and warp_band.band_geometry_ok(
                     res_scalar=self.res_scalar, is_hdr=self.is_hdr,
                     dim_y=self.h, dim_x=self.w, apron=apron))

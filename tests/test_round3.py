@@ -132,3 +132,24 @@ def test_engine_chain_bounds_pick_rule():
                 is_hdr=False, dim_y=h, dim_x=w, apron=eng._apron)
             np.testing.assert_array_equal(np.asarray(oy), np.asarray(sy))
             np.testing.assert_array_equal(np.asarray(ouv), np.asarray(suv))
+
+
+def test_band_rs1_gate(monkeypatch):
+    """rs=1 band routing must stay OFF (strip path) until chip-validated,
+    on BOTH derivation sites (init and the _refresh_geometry rebuild), and
+    flip on via HRT_BAND_RS1 — the documented enablement path."""
+    import types
+
+    monkeypatch.delenv("HRT_BAND_RS1", raising=False)
+    eng = flow_engine.OpticalFlowEngine(480, 854, is_hdr=False)
+    assert eng.res_scalar == 1 and eng.use_strips
+    # Pretend we are on a TPU so only the rs gate decides.
+    eng._device = types.SimpleNamespace(platform="tpu")
+    eng.search_radius = hcfg.MAX_SEARCH_RADIUS
+    assert eng._refresh_geometry() in (True, False)
+    assert not eng.use_warp_band
+    monkeypatch.setenv("HRT_BAND_RS1", "1")
+    eng.search_radius = hcfg.MIN_SEARCH_RADIUS
+    eng._flow_buckets = [5, 5]
+    assert eng._refresh_geometry()          # bucket change forces re-derive
+    assert eng.use_warp_band
