@@ -75,8 +75,14 @@ def main() -> None:
     ap.add_argument("--content", default="pan", choices=("pan", "noise"))
     ap.add_argument("--flow-content", default="pan", choices=("pan", "random"))
     ap.add_argument("--json-only", action="store_true")
+    ap.add_argument("--target-fps", type=float, default=None,
+                    help="override the config's output rate (e.g. 120 for the"
+                         " BASELINE 4K HDR 24->120 config); the budget stays"
+                         " 1/source_fps")
     args = ap.parse_args()
     cfg = CONFIGS[args.config]
+    if args.target_fps:
+        cfg = dict(cfg, target_fps=args.target_fps)
 
     import jax
     import jax.numpy as jnp
@@ -259,6 +265,8 @@ def main() -> None:
 
     radius, flow_ms, warp_ms, per_source_ms = chosen
     suffix = f"_x{B}streams" if B > 1 else ""
+    if args.target_fps:
+        suffix += f"_to{args.target_fps:g}fps"
     result = {
         "metric": f"{args.config}{suffix}_flow_plus_warp_per_source_frame",
         "value": round(per_source_ms, 3),
