@@ -153,3 +153,48 @@ def test_band_rs1_gate(monkeypatch):
     eng._flow_buckets = [5, 5]
     assert eng._refresh_geometry()          # bucket change forces re-derive
     assert eng.use_warp_band
+
+
+def test_engine_noise_content_tiers_compose_bit_exact():
+    """The round-3 thesis end to end on ADVERSARIAL content: random frames
+    (flow never converges) streamed through the planned engine — whatever
+    plan/apron-tier/chain-bounds the host picks, outputs must equal the
+    forced-full-apron default-bounds engine bit for bit. Composes V/G plans,
+    the sig bound, pick_apron, and the chain-bounds rule on content none of
+    the targeted tests chose."""
+    h, w = 64, 128
+    frames = []
+    rng = np.random.default_rng(23)
+    for i in range(6):
+        y = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        uv = rng.integers(0, 256, (h // 2, w), dtype=np.uint8)
+        frames.append((y, uv))
+
+    def stream(force_full):
+        eng = flow_engine.OpticalFlowEngine(h, w, is_hdr=False,
+                                            max_calc_res=16)
+        eng.search_radius = hcfg.MAX_SEARCH_RADIUS
+        eng._band_interpret = True
+        if force_full:
+            orig = eng._run_warp
+            eng._run_warp = lambda *a, **kw: orig(
+                *a, **{**kw, "flow_bound": None})
+        outs = []
+        for y, uv in frames:
+            eng.update_frame(y, uv)
+            eng.use_warp_band = True
+            if eng.frame_count < 3:
+                continue
+            eng.calculate_optical_flow()
+            for t in (0.25, 0.75):
+                oy, ouv = eng.warp_frames(t, 2)
+                outs.append((np.asarray(oy), np.asarray(ouv)))
+        return eng, outs
+
+    eng, outs = stream(False)
+    _, full_outs = stream(True)
+    assert eng._flow_bounds[0] is not None and eng._flow_bounds[0] > 0
+    assert eng.warp_apron_used <= eng._apron
+    for (ay, auv), (by, buv) in zip(outs, full_outs):
+        np.testing.assert_array_equal(ay, by)
+        np.testing.assert_array_equal(auv, buv)
