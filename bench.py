@@ -292,5 +292,36 @@ def main() -> None:
     print(json.dumps(result))
 
 
+def _classify_failure(exc: BaseException) -> str:
+    """Map a bench failure to a coarse cause tag for the driver's artifact."""
+    text = f"{type(exc).__name__}: {exc}"
+    if "Unable to initialize backend" in text or "UNAVAILABLE" in text:
+        return "backend-unavailable"
+    if "DEADLINE_EXCEEDED" in text or isinstance(exc, TimeoutError):
+        return "timeout"
+    if isinstance(exc, (MemoryError,)) or "RESOURCE_EXHAUSTED" in text:
+        return "oom"
+    return "error"
+
+
 if __name__ == "__main__":
-    main()
+    # The bench's contract with the driver is ONE parseable JSON line on stdout,
+    # even when the TPU tunnel is down (VERDICT r3 weak #1: an outage round must
+    # still yield a structured artifact, not a raw traceback).
+    try:
+        main()
+    except SystemExit:
+        raise
+    except BaseException as exc:  # noqa: BLE001 - the artifact must always print
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        print(json.dumps({
+            "metric": "bench_failed",
+            "value": None,
+            "unit": None,
+            "vs_baseline": None,
+            "error": f"{type(exc).__name__}: {exc}"[:500],
+            "rc_cause": _classify_failure(exc),
+        }))
+        sys.exit(1)

@@ -29,6 +29,19 @@ UPPER_PERF_BUFFER = 1.4   # calc_time * this > frame_time  -> reduce quality
 LOWER_PERF_BUFFER = 1.6   # calc_time * this < frame_time  -> raise quality
 CALC_TIME_INTERVAL = 240  # frames between avg/peak metric window resets
 
+# --- TooSlow / over-budget policy ---
+# The reference defines ActiveState::TooSlow and checks the budget but leaves the
+# auto-disable commented out (ref: HopperRender.h:21-26, HopperRender.cpp:1438-1463,
+# disable at :1450-1452) — it keeps interpolating and stutters. We implement the
+# policy honestly: when the scaler sits at MIN_SEARCH_RADIUS and
+# (flow + warps) * UPPER_PERF_BUFFER still exceeds the frame time for
+# TOO_SLOW_TRIP_FRAMES consecutive source frames, the server switches to
+# passthrough copyFrame outputs at source cadence and reports state 3. Flow keeps
+# running (at the floor radius) so recovery stays measurable; after
+# TOO_SLOW_RECOVER_FRAMES consecutive under-budget frames it re-activates.
+TOO_SLOW_TRIP_FRAMES = 10
+TOO_SLOW_RECOVER_FRAMES = 30
+
 # --- Defaults (ref: config.h:23-29) ---
 DEFAULT_DELTA_SCALAR = 8
 DEFAULT_NEIGHBOR_SCALAR = 6

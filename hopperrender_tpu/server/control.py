@@ -120,25 +120,59 @@ class AutoQualityScaler:
     def __init__(self, enabled: bool = config.AUTO_SEARCH_RADIUS_ADJUST):
         self.enabled = enabled
         self.total_warp_duration = 0.0  # seconds, accumulated per output frame
+        # TooSlow policy state (see config.py TOO_SLOW_* for the policy contract;
+        # ref: HopperRender.h:21-26, HopperRender.cpp:1438-1463).
+        self.too_slow = False
+        self._over_count = 0       # consecutive over-budget frames at the floor
+        self._under_count = 0      # consecutive under-budget frames while TooSlow
+        self._warp_estimate = 0.0  # per-source warp cost (s), frozen at trip time
 
     def add_warp_duration(self, seconds: float) -> None:
         """(ref: HopperRender.cpp:1189)."""
         self.total_warp_duration += seconds
 
     def adjust(self, search_radius: int, ofc_calc_time: float, playback_frame_time: int) -> int:
-        """Returns the new search radius; resets the warp accumulator."""
+        """Returns the new search radius; resets the warp accumulator.
+
+        Also maintains the TooSlow flag: trips after TOO_SLOW_TRIP_FRAMES
+        consecutive over-budget frames at MIN_SEARCH_RADIUS; while tripped, the
+        warps are passthrough copies, so the budget test uses the warp cost
+        frozen at trip time plus the live flow cost, and recovers after
+        TOO_SLOW_RECOVER_FRAMES consecutive frames back under budget.
+        """
         if not self.enabled:
             self.total_warp_duration = 0.0
             return search_radius
         frame_time_s = playback_frame_time / 1e7
+        if self.too_slow:
+            estimate = ofc_calc_time + self._warp_estimate
+            if estimate * config.UPPER_PERF_BUFFER <= frame_time_s:
+                self._under_count += 1
+                if self._under_count >= config.TOO_SLOW_RECOVER_FRAMES:
+                    self.too_slow = False
+                    self._over_count = 0
+                    self._under_count = 0
+            else:
+                self._under_count = 0
+            self.total_warp_duration = 0.0
+            return search_radius
         duration = ofc_calc_time + self.total_warp_duration
         if duration * config.UPPER_PERF_BUFFER > frame_time_s:
             if search_radius > config.MIN_SEARCH_RADIUS:
                 search_radius -= 1
-            # else: reference's TooSlow auto-disable is commented out
-            # (ref: HopperRender.cpp:1450-1452)
-        elif duration * config.LOWER_PERF_BUFFER < frame_time_s:
-            if search_radius < config.MAX_SEARCH_RADIUS:
+                self._over_count = 0
+            else:
+                # At the floor and still over budget: the reference's auto-disable
+                # is commented out (ref: HopperRender.cpp:1450-1452); we take it.
+                self._over_count += 1
+                if self._over_count >= config.TOO_SLOW_TRIP_FRAMES:
+                    self.too_slow = True
+                    self._warp_estimate = self.total_warp_duration
+                    self._under_count = 0
+        else:
+            self._over_count = 0
+            if (duration * config.LOWER_PERF_BUFFER < frame_time_s
+                    and search_radius < config.MAX_SEARCH_RADIUS):
                 search_radius += 1
         self.total_warp_duration = 0.0
         return search_radius
@@ -254,9 +288,11 @@ class CadenceController:
     def next_output_timing(self) -> OutputTiming:
         """Timestamp one output frame and advance the clock
         (ref: HopperRender.cpp:1031-1043)."""
+        # DEACTIVATED and TOO_SLOW both emit one passthrough copy per source
+        # frame, so each output occupies a full source-frame interval.
         step = (
             self.playback_frame_time
-            if self.state == ActiveState.DEACTIVATED
+            if self.state in (ActiveState.DEACTIVATED, ActiveState.TOO_SLOW)
             else self.target_frame_time
         )
         timing = OutputTiming(

@@ -228,19 +228,32 @@ class FrameServer:
             if rate:
                 self.set_display_fps(rate)
 
-        num_outputs = self.cadence.begin_source_frame(pts)
-
-        # Auto quality scaling before this frame's work
+        # Auto quality scaling before this frame's work — including the cadence
+        # decision, so a TooSlow flip applies to THIS frame's output count
         # (ref: HopperRender.cpp:951, 1438-1463).
         eng.search_radius = self.scaler.adjust(
             eng.search_radius, eng.ofc_time.current, self.cadence.playback_frame_time
         )
+        # TooSlow sync (policy: config.py TOO_SLOW_*; ref: HopperRender.h:21-26).
+        # Only the ACTIVE<->TOO_SLOW edge is the scaler's to flip — DEACTIVATED
+        # and NOT_NEEDED don't interpolate, so "too slow" is moot there.
+        if self.cadence.state == ActiveState.ACTIVE and self.scaler.too_slow:
+            self.cadence.state = ActiveState.TOO_SLOW
+            log.warning("Over budget at MIN_SEARCH_RADIUS for %d frames -> "
+                        "TooSlow passthrough", config.TOO_SLOW_TRIP_FRAMES)
+        elif self.cadence.state == ActiveState.TOO_SLOW and not self.scaler.too_slow:
+            self.cadence.state = ActiveState.ACTIVE
+            log.info("Back under budget -> interpolation re-activated")
+
+        num_outputs = self.cadence.begin_source_frame(pts)
 
         eng.update_frame(y, uv)
 
         state = self.cadence.state
         warmed = eng.frame_count >= 3
-        if state == ActiveState.ACTIVE and warmed:
+        # Flow keeps running while TOO_SLOW (at the floor radius) so the scaler
+        # can observe recovery; only the warps are replaced by copies.
+        if state in (ActiveState.ACTIVE, ActiveState.TOO_SLOW) and warmed:
             eng.calculate_optical_flow()
             self.cadence.scene.add_frame_delta(
                 eng.frame_count, eng.fetch_total_frame_delta(),

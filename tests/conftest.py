@@ -36,3 +36,32 @@ def make_frame(rng, h, w, is_hdr=False):
 
 def make_flow(rng, low_h, low_w, max_mag=8):
     return rng.integers(-max_mag, max_mag + 1, (2, low_h, low_w)).astype(np.int16)
+
+
+# --- Test tiering (VERDICT r3 weak #6) -------------------------------------
+# The exhaustive interpret-mode Pallas grids and fuzz sweeps push the full
+# suite past a bounded CI window. For each test function in the modules below,
+# the FIRST parametrize combo stays in the smoke tier; every further combo is
+# marked `exhaustive`. `pytest -m "not exhaustive"` therefore still executes
+# every test function at least once, while `pytest` (no -m) runs everything.
+_EXHAUSTIVE_MODULES = {
+    "test_warp_band",
+    "test_fuzz_engine",
+    "test_golden_vs_scalar",
+    "test_flow_strip",
+    "test_warp_strip",
+    "test_flow_planned",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    seen: set = set()
+    for item in items:
+        mod = getattr(item.module, "__name__", "")
+        if mod not in _EXHAUSTIVE_MODULES:
+            continue
+        key = (mod, getattr(item, "originalname", None) or item.name)
+        if key in seen:
+            item.add_marker(pytest.mark.exhaustive)
+        else:
+            seen.add(key)

@@ -190,3 +190,103 @@ class TestAutoQualityScaler:
         s.add_warp_duration(5.0)
         assert s.adjust(10, 5.0, self.FT24) == 10
         assert s.total_warp_duration == 0.0
+
+
+class TestTooSlowPolicy:
+    """Over-budget policy (config.py TOO_SLOW_*; ref: HopperRender.cpp:1438-1463,
+    auto-disable commented at :1450-1452 — we implement it with hysteresis)."""
+
+    FRAME_TIME = int(1e7 / 24)  # 24 fps source
+
+    def _over_budget_time(self):
+        # duration * UPPER_PERF_BUFFER > frame_time
+        return (self.FRAME_TIME / 1e7) / config.UPPER_PERF_BUFFER * 1.05
+
+    def test_trips_only_at_floor_after_n_frames(self):
+        s = AutoQualityScaler(enabled=True)
+        r = config.MIN_SEARCH_RADIUS + 2
+        slow = self._over_budget_time()
+        # First walks the radius down to the floor without tripping.
+        for _ in range(2):
+            r = s.adjust(r, slow, self.FRAME_TIME)
+        assert r == config.MIN_SEARCH_RADIUS and not s.too_slow
+        # Then needs TOO_SLOW_TRIP_FRAMES consecutive over-budget frames.
+        for i in range(config.TOO_SLOW_TRIP_FRAMES - 1):
+            r = s.adjust(r, slow, self.FRAME_TIME)
+            assert not s.too_slow, f"tripped early at frame {i}"
+        r = s.adjust(r, slow, self.FRAME_TIME)
+        assert s.too_slow
+        assert r == config.MIN_SEARCH_RADIUS
+
+    def test_under_budget_resets_trip_counter(self):
+        s = AutoQualityScaler(enabled=True)
+        slow = self._over_budget_time()
+        r = config.MIN_SEARCH_RADIUS
+        for _ in range(config.TOO_SLOW_TRIP_FRAMES - 1):
+            r = s.adjust(r, slow, self.FRAME_TIME)
+        r = s.adjust(r, 1e-4, self.FRAME_TIME)  # one fast frame resets the run
+        for _ in range(config.TOO_SLOW_TRIP_FRAMES - 1):
+            r = s.adjust(config.MIN_SEARCH_RADIUS, slow, self.FRAME_TIME)
+        assert not s.too_slow
+
+    def test_recovers_after_hysteresis_window(self):
+        s = AutoQualityScaler(enabled=True)
+        s.too_slow = True
+        s._warp_estimate = 0.0
+        r = config.MIN_SEARCH_RADIUS
+        for i in range(config.TOO_SLOW_RECOVER_FRAMES - 1):
+            r = s.adjust(r, 1e-4, self.FRAME_TIME)
+            assert s.too_slow, f"recovered early at frame {i}"
+        r = s.adjust(r, 1e-4, self.FRAME_TIME)
+        assert not s.too_slow
+
+    def test_frozen_warp_estimate_blocks_recovery(self):
+        # While TooSlow the warps are copies, so the budget test must use the
+        # warp cost frozen at trip time — a slow flow alone shouldn't recover.
+        s = AutoQualityScaler(enabled=True)
+        s.too_slow = True
+        s._warp_estimate = (self.FRAME_TIME / 1e7)  # warps alone blow the budget
+        for _ in range(config.TOO_SLOW_RECOVER_FRAMES + 5):
+            s.adjust(config.MIN_SEARCH_RADIUS, 1e-4, self.FRAME_TIME)
+        assert s.too_slow
+
+
+class TestTooSlowServer:
+    """End-to-end: TooSlow -> passthrough at source cadence + state 3 in
+    metrics, then recovery re-activates interpolation."""
+
+    def test_server_passthrough_and_recovery(self, rng):
+        import numpy as np
+        from hopperrender_tpu.config import Settings
+        from hopperrender_tpu.server.frame_server import FrameServer
+        from hopperrender_tpu.vio import nv12
+
+        srv = FrameServer(48, 32, source_fps=24.0,
+                          settings=Settings(target_fps=60.0, use_display_fps=False))
+        # Warm up: 4 source frames so the engine interpolates.
+        for i in range(4):
+            y, uv = nv12.synthetic_frame(rng, 32, 48, motion_x=i)
+            outs = srv.push_frame(y, uv)
+        assert any(o.interpolated for o in outs)
+
+        # Force the tripped state (the trip path itself is unit-tested above).
+        srv.scaler.too_slow = True
+        srv.scaler._warp_estimate = 10.0  # keeps it tripped regardless of flow time
+        y, uv = nv12.synthetic_frame(rng, 32, 48, motion_x=5)
+        outs = srv.push_frame(y, uv)
+        assert srv.cadence.state == ActiveState.TOO_SLOW
+        assert srv.metrics().active_state == int(ActiveState.TOO_SLOW)
+        assert len(outs) == 1  # passthrough: one copy per source frame
+        assert not outs[0].interpolated
+        # Source-cadence timestamps: the copy occupies a source-frame interval.
+        assert (outs[0].end_time - outs[0].start_time
+                == srv.cadence.playback_frame_time)
+
+        # Recovery: tiny frames are far under budget once the estimate unfreezes.
+        srv.scaler._warp_estimate = 0.0
+        last = None
+        for i in range(config.TOO_SLOW_RECOVER_FRAMES + 2):
+            y, uv = nv12.synthetic_frame(rng, 32, 48, motion_x=6 + i)
+            last = srv.push_frame(y, uv)
+        assert srv.cadence.state == ActiveState.ACTIVE
+        assert any(o.interpolated for o in last)

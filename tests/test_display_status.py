@@ -91,3 +91,32 @@ def test_unknown_path(http_server):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _get(status, "/nope")
     assert ei.value.code == 404
+
+
+# --- DRM probe honesty (VERDICT r3 weak #5): only a parsed rate is returned ---
+
+def _mk_conn(tmp_path, name, status, modes_line):
+    d = tmp_path / name
+    d.mkdir()
+    (d / "status").write_text(status + "\n")
+    (d / "modes").write_text(modes_line + "\n" if modes_line else "")
+    return d
+
+
+def test_drm_probe_geometry_only_returns_none(tmp_path):
+    from hopperrender_tpu.server.display import _probe_drm
+    _mk_conn(tmp_path, "card0-HDMI-A-1", "connected", "1920x1080")
+    assert _probe_drm(root=str(tmp_path)) is None  # no guessed 60.0
+
+
+def test_drm_probe_parses_rate_suffix(tmp_path):
+    from hopperrender_tpu.server.display import _probe_drm
+    _mk_conn(tmp_path, "card0-DP-1", "connected", "3840x2160@59.94")
+    assert _probe_drm(root=str(tmp_path)) == 59.94
+
+
+def test_drm_probe_skips_disconnected(tmp_path):
+    from hopperrender_tpu.server.display import _probe_drm
+    _mk_conn(tmp_path, "card0-DP-1", "disconnected", "1920x1080@144")
+    _mk_conn(tmp_path, "card0-DP-2", "connected", "1280x720@75")
+    assert _probe_drm(root=str(tmp_path)) == 75.0
