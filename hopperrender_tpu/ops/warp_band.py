@@ -448,8 +448,18 @@ def _band_call(disp, fscal, fs, lev, fmap, src12, src21, *, cell,
                per32, cb, band_rows, a_rows, c32, c32_alloc, tile_w32, n_tiles,
                out_rows, mode, is_hdr, is_uv, n_par, interpret,
                res_v=RES_V, res_h=RES_H, row_shift=0, lane_shift=0,
-               slot16=False):
-    n_bands = -(-out_rows // band_rows)
+               slot16=False, n_bands=None, band_start=None,
+               n_bands_local=None, full_apron=None):
+    """band_start / n_bands_local: mesh row-band sharding (parallel/mesh.py).
+    The per-band operands (disp, fscal, fmap) and the packed sources are
+    sliced to this shard's contiguous run of bands BEFORE the pallas_call, so
+    the kernel itself is untouched — its band origins stay the static
+    b*band_rows against the shard-local source view. band_start is a traced
+    band index (lax.axis_index * n_bands_local); n_bands_local is static.
+    full_apron: the packed layout's apron (>= a_rows when an apron tier is
+    active); the source row slice must span it."""
+    if n_bands is None:
+        n_bands = -(-out_rows // band_rows)
     cpb, cpt, k = disp.shape[2:]
     xdiv8 = cpb * cpt * k // 8
     n_groups = (band_rows // 8) * (tile_w32 // 128)
@@ -474,6 +484,23 @@ def _band_call(disp, fscal, fs, lev, fmap, src12, src21, *, cell,
     # `cell` output rows, so the kernel reads one aligned (8,128) block per
     # group (single-row dynamic loads don't lower on Mosaic).
     fmap = jnp.repeat(fmap, cell, axis=0)
+    if band_start is not None:
+        assert nb % n_bands_local == 0, (nb, n_bands_local)
+        fa = a_rows if full_apron is None else full_apron
+        start = jnp.asarray(band_start, jnp.int32)
+        disp = jax.lax.dynamic_slice_in_dim(disp, start, n_bands_local, 0)
+        f = jax.lax.dynamic_slice_in_dim(f, start, n_bands_local, 0)
+        fmap = jax.lax.dynamic_slice_in_dim(
+            fmap, start * band_rows, n_bands_local * band_rows, 0)
+        # Shard-local source view: this run of bands plus the full-apron halo
+        # (row_shift + 2*a_rows <= 2*full_apron). ~1-2 MB copy at 4K — cheap
+        # next to the band DMA it replaces on the other shards.
+        src_rows = n_bands_local * band_rows + 2 * fa
+        src12 = jax.lax.dynamic_slice_in_dim(
+            src12, start * band_rows, src_rows, 1)
+        src21 = jax.lax.dynamic_slice_in_dim(
+            src21, start * band_rows, src_rows, 1)
+        n_bands = n_bands_local
     return pl.pallas_call(
         kern,
         grid=(n_bands, n_tiles),
@@ -614,7 +641,8 @@ def pack_band_context(wctx: dict, *, res_scalar: int, is_hdr: bool,
 @functools.partial(
     jax.jit, static_argnames=("res_scalar", "mode", "is_hdr", "dim_y", "dim_x",
                               "apron", "interpret", "vmem_budget",
-                              "chain_bounds", "debug_prep_only", "apron_eff"),
+                              "chain_bounds", "debug_prep_only", "apron_eff",
+                              "num_shards"),
 )
 def warp_frame_band(
     wctx12: dict, wctx21: dict,
@@ -625,6 +653,7 @@ def warp_frame_band(
     apron: int, interpret: bool = False, vmem_budget: int = 10 << 20,
     chain_bounds: tuple = (RES_V, RES_H), debug_prep_only: bool = False,
     apron_eff: int | None = None,
+    num_shards: int = 1, shard_index=None,
 ):
     """Pallas twin of warp_strip.warp_frame_strip (identical outputs) for modes
     0/1/2. Consumes the same per-frame warp contexts.
@@ -649,8 +678,19 @@ def warp_frame_band(
     of the kernel's HBM traffic on converged content. REQUIRES
     maxabs(flow) <= apron_eff (caller certifies; the engine derives it from
     the fetched sig, so there is no speculation and no mispredict path).
-    Outputs are bit-identical for every valid apron_eff."""
+    Outputs are bit-identical for every valid apron_eff.
+
+    num_shards / shard_index: mesh ROW-BAND sharding (parallel/mesh.py). The
+    kernel-facing band counts for Y and UV are padded up to a num_shards
+    multiple; when shard_index (a traced lax.axis_index) is given, the tables
+    and packed sources are sliced to this shard's contiguous run of bands and
+    the returned planes are the shard's LOCAL band rows at padded width —
+    uncropped raw rows that the mesh wrapper concatenates (out_spec over the
+    row axis) and crops to (dim_y, dim_x) outside the shard_map. Table builds
+    and source packing run replicated (cheap next to the sharded kernel)."""
     assert mode in (0, 1, 2)
+    assert (shard_index is None) == (num_shards == 1)
+    assert not (debug_prep_only and num_shards > 1)
     res_v, res_h = chain_bounds
     assert res_v in (8, 16, 32) and res_h in (8, 16, 32), chain_bounds
     assert res_v + 8 <= RV_SLACK   # fast window must fit the scratch slack
@@ -711,7 +751,7 @@ def warp_frame_band(
     r21, p21 = y_table(dy21, dx21)
     dispY = jnp.stack([r12, p12, r21, p21], axis=-1)
     cpb = band_rows // cell
-    nb_y = -(-dim_y // band_rows)
+    nb_y = _round_up(-(-dim_y // band_rows), num_shards)
     if nb_y * cpb > n_cy:
         dispY = jnp.pad(dispY, ((0, nb_y * cpb - n_cy), (0, 0), (0, 0)),
                         mode="edge")
@@ -756,10 +796,15 @@ def warp_frame_band(
             c32_alloc=c32_alloc, tile_w32=tile_w32, n_tiles=n_tiles,
             out_rows=dim_y, mode=mode, is_hdr=is_hdr, is_uv=False, n_par=1,
             interpret=interpret, res_v=res_v, res_h=res_h,
-            row_shift=row_shift_y, lane_shift=lane_shift_y, slot16=slot16)
+            row_shift=row_shift_y, lane_shift=lane_shift_y, slot16=slot16,
+            n_bands=nb_y, band_start=(
+                None if shard_index is None
+                else shard_index * (nb_y // num_shards)),
+            n_bands_local=nb_y // num_shards, full_apron=a)
+        rows_y_out = dim_y if shard_index is None else None
         y = jax.lax.bitcast_convert_type(
             outy, jnp.uint16 if slot16 else dtype).reshape(
-            outy.shape[0], -1)[:dim_y, :dim_x].astype(dtype)
+            outy.shape[0], -1)[:rows_y_out, :dim_x].astype(dtype)
 
     # ---- UV plane (pair elements; parity-stacked planes) ----------------------
     band_c, n_tiles_c, c32c_full, _ = gc
@@ -799,7 +844,7 @@ def warp_frame_band(
     rc21, pc21, q21 = uv_table(dx21, dy21_uv)
     dispC = jnp.stack([rc12, pc12, rc21, pc21, q12, q21], axis=-1)
     cpbc = band_c // cell
-    nb_c = -(-h2 // band_c)
+    nb_c = _round_up(-(-h2 // band_c), num_shards)
     n_scy = h2 // cell
     if nb_c * cpbc > n_scy:
         dispC = jnp.pad(dispC, ((0, nb_c * cpbc - n_scy), (0, 0), (0, 0)),
@@ -845,9 +890,15 @@ def warp_frame_band(
         c32_alloc=c32c_alloc, tile_w32=tile_w32c, n_tiles=n_tiles_c,
         out_rows=h2, mode=mode, is_hdr=is_hdr, is_uv=True, n_par=2,
         interpret=interpret, res_v=res_v, res_h=res_h,
-        row_shift=row_shift_c, lane_shift=lane_shift_c)
+        row_shift=row_shift_c, lane_shift=lane_shift_c,
+        n_bands=nb_c, band_start=(
+            None if shard_index is None
+            else shard_index * (nb_c // num_shards)),
+        n_bands_local=nb_c // num_shards, full_apron=ac)
     pair_dtype = jnp.uint32 if is_hdr else jnp.uint16
     pairs = jax.lax.bitcast_convert_type(outc, pair_dtype)
-    pairs = pairs.reshape(outc.shape[0], -1)[:h2, :dim_x // 2]
-    uv = jax.lax.bitcast_convert_type(pairs, dtype).reshape(h2, dim_x)
+    rows_c_out = h2 if shard_index is None else None
+    pairs = pairs.reshape(outc.shape[0], -1)[:rows_c_out, :dim_x // 2]
+    uv = jax.lax.bitcast_convert_type(pairs, dtype).reshape(
+        pairs.shape[0], dim_x)
     return y, uv

@@ -30,6 +30,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from hopperrender_tpu.ops import flow as flow_ops
 from hopperrender_tpu.ops import flow_strip
 from hopperrender_tpu.ops import warp as warp_ops
+from hopperrender_tpu.ops import warp_band
 from hopperrender_tpu.ops import warp_strip
 
 MAX_R = flow_ops.MAX_R
@@ -213,6 +214,33 @@ def warp_frame_strip_sharded(
         out_rows_y=rows_y, out_rows_uv=rows_uv)
 
 
+def warp_frame_band_sharded(
+    wctx12: dict, wctx21: dict, flow, blending_scalar, black, white,
+    *, res_scalar: int, mode: int, is_hdr: bool, dim_y: int, dim_x: int,
+    apron: int, axis_name: str, num_shards: int, interpret: bool = False,
+    chain_bounds: tuple = (16, 16), apron_eff: int | None = None,
+):
+    """Row-BAND-sharded single-chip hot warp kernel (ops/warp_band.py) on the
+    mesh: the Y and UV band grids are padded to a num_shards multiple and each
+    device runs its contiguous run of bands against a dynamic-slice view of
+    the packed sources — the Pallas kernel itself is unchanged (static band
+    origins). Table builds and packing run replicated (KB/MB-scale, cheap
+    next to the kernel's band DMAs, which this divides by num_shards).
+
+    Returns the shard-LOCAL (y, uv) band rows at padded width; the caller's
+    out_spec concatenates them over the row axis and crops to (dim_y, dim_x)
+    outside the shard_map (crop_band_output)."""
+    shard = jax.lax.axis_index(axis_name)
+    return warp_band.warp_frame_band(
+        wctx12, wctx21, flow,
+        jnp.asarray(blending_scalar, jnp.float32),
+        jnp.asarray(black, jnp.float32), jnp.asarray(white, jnp.float32),
+        res_scalar=res_scalar, mode=mode, is_hdr=is_hdr,
+        dim_y=dim_y, dim_x=dim_x, apron=apron, interpret=interpret,
+        chain_bounds=chain_bounds, apron_eff=apron_eff,
+        num_shards=num_shards, shard_index=shard)
+
+
 def warp_frame_sharded(
     src12_y, src12_uv, src21_y, src21_uv, flow, blending_scalar, black, white,
     *, res_scalar: int, mode: int, is_hdr: bool, axis_name: str, num_shards: int,
@@ -251,6 +279,9 @@ def make_multichip_step(
     is_hdr: bool = False,
     mode: int = 2,
     plan: tuple | None = None,
+    warp_kernel: str = "auto",
+    band_interpret: bool = False,
+    band_apron_eff: int | None = None,
 ):
     """Build the jitted multi-chip interpolation step.
 
@@ -270,6 +301,17 @@ def make_multichip_step(
     use_warp_strips = (use_strips and frame_height % cell == 0
                        and frame_width % cell == 0
                        and frame_height % (2 * n_sp) == 0)
+    # Single-chip hot kernel on the mesh: row-BAND-sharded Pallas warp
+    # (warp_frame_band_sharded) when the geometry qualifies. Same routing rule
+    # as the engine (flow_engine: band for res_scalar 2/3, modes 0-2), opt-out
+    # via warp_kernel="strip".
+    use_warp_band = (warp_kernel != "strip" and use_warp_strips
+                     and res_scalar in (2, 3) and mode in (0, 1, 2)
+                     and warp_band.band_geometry_ok(
+                         res_scalar=res_scalar, is_hdr=is_hdr,
+                         dim_y=frame_height, dim_x=frame_width, apron=apron))
+    if warp_kernel == "band":
+        assert use_warp_band, "band kernel unsupported for this geometry"
 
     def per_stream(f0y, f0uv, f1y, f1uv, f2y, f2uv, flow_prev, radius, dscalar,
                    nscalar, t, black, white):
@@ -294,7 +336,19 @@ def make_multichip_step(
                 low_h=low_h, low_w=low_w, res_scalar=res_scalar, is_hdr=is_hdr,
                 axis_name="sp", num_shards=n_sp,
             )
-        if use_warp_strips:
+        if use_warp_band:
+            wc12 = warp_strip.build_warp_context(f0y, f0uv, apron=apron,
+                                                 is_hdr=is_hdr)
+            wc21 = warp_strip.build_warp_context(f1y, f1uv, apron=apron,
+                                                 is_hdr=is_hdr)
+            out_y, out_uv = warp_frame_band_sharded(
+                wc12, wc21, flow_prev, t, black, white,
+                res_scalar=res_scalar, mode=mode, is_hdr=is_hdr,
+                dim_y=frame_height, dim_x=frame_width, apron=apron,
+                axis_name="sp", num_shards=n_sp, interpret=band_interpret,
+                apron_eff=band_apron_eff,
+            )
+        elif use_warp_strips:
             wc12 = warp_strip.build_warp_context(f0y, f0uv, apron=apron,
                                                  is_hdr=is_hdr)
             wc21 = warp_strip.build_warp_context(f1y, f1uv, apron=apron,
@@ -340,4 +394,16 @@ def make_multichip_step(
         out_specs=out_specs,
         check_vma=False,
     )
-    return jax.jit(sharded)
+    if not use_warp_band:
+        return jax.jit(sharded)
+
+    # Band path: each shard returns its LOCAL run of band rows (the Y/UV band
+    # grids are padded to an n_sp multiple inside warp_frame_band); the
+    # concatenated global rows are >= the frame dims — crop outside the
+    # shard_map where the global view exists.
+    def run(*args):
+        out_y, out_uv, blurred, delta, sig = sharded(*args)
+        return (out_y[:, :frame_height], out_uv[:, :frame_height // 2],
+                blurred, delta, sig)
+
+    return jax.jit(run)
