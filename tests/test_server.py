@@ -221,3 +221,24 @@ def test_test_mode_settings(rng):
     # Live re-enable.
     srv.update_settings(auto_quality=True)
     assert srv.scaler.enabled
+
+
+def test_continuous_noise_does_not_trip_scene_gate(rng):
+    """Continuous per-frame noise (the adversarial bench content) does NOT
+    continuously trip the scene detector: detection is a SPIKE test against
+    the rolling delta average (ref: HopperRender.cpp:1126-1176), and
+    uncorrelated-noise deltas are uniformly high, so delta1 ~= 0. This pins
+    the honest conclusion from VERDICT r3: adversarial noise streams ride the
+    FULL interpolation path (scene gating does not rescue the budget there —
+    the chain-bounds fast path and the TooSlow policy do)."""
+    srv = make_server(settings=Settings(target_fps=60.0, use_display_fps=False))
+    n_scene = n_interp = 0
+    for i in range(14):
+        y = rng.integers(0, 256, (32, 48), dtype=np.uint8)
+        uv = rng.integers(0, 256, (16, 48), dtype=np.uint8)
+        for o in srv.push_frame(y, uv):
+            if i >= 4:  # past warmup + detector history fill
+                n_scene += int(o.scene_change)
+                n_interp += int(o.interpolated)
+    assert n_scene == 0
+    assert n_interp > 0
