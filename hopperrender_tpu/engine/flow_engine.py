@@ -38,6 +38,7 @@ from hopperrender_tpu.ops import flow_strip
 from hopperrender_tpu.ops import warp as warp_ops
 from hopperrender_tpu.ops import warp_band
 from hopperrender_tpu.ops import warp_strip
+from hopperrender_tpu.ops import warp_viz
 
 
 def _band_rs_enabled(res_scalar: int) -> bool:
@@ -529,6 +530,40 @@ class OpticalFlowEngine:
         the flow can actually reach (warp_frame_band apron_eff) — exact, not
         speculative, since the sig was fetched before this warp dispatches."""
         black, white = self._levels()
+        # Visualization modes on the fast formulations (bit-exact twins of the
+        # gather path, tests/test_warp_strip.py):
+        #   4 (grey flow): pure structured math, no source samples exist.
+        #   3 (HSV flow):  the strip twin's blended samples + structured flow
+        #                  upsample colorization.
+        #   5 (side-by-side full res): source copy | fast mode-2 concat.
+        #   6 (side-by-side 2x): Y fully structured over the fast mode-2
+        #                  output; UV keeps the gather formulation restricted
+        #                  to the band rows (debug-grade, ~3-4x cheaper).
+        if mode == 4 and self.use_warp_strips:
+            return warp_strip.grey_flow_frame(
+                flow, res_scalar=self.res_scalar, is_hdr=self.is_hdr,
+                dim_y=self.h, dim_x=self.w)
+        if mode == 3 and self.use_warp_strips and wctx0 is not None:
+            return warp_strip.warp_frame_strip(
+                wctx0, wctx1, flow,
+                jnp.float32(blending_scalar), jnp.float32(black), jnp.float32(white),
+                res_scalar=self.res_scalar, mode=3, is_hdr=self.is_hdr,
+                dim_y=self.h, dim_x=self.w, apron=apron,
+            )
+        if mode in (5, 6) and self.use_warp_strips and wctx0 is not None \
+                and f0 is not None and f1 is not None:
+            w2y, w2uv = self._run_warp(wctx0, wctx1, f0, f1, flow,
+                                       blending_scalar, 2, apron=apron,
+                                       flow_bound=flow_bound)
+            if mode == 5:
+                return warp_viz.side_by_side_1(f0[0], f0[1], w2y, w2uv,
+                                               dim_x=self.w)
+            return warp_viz.side_by_side_2(
+                f0[0], f0[1], f1[0], f1[1], w2y, flow,
+                jnp.float32(blending_scalar), jnp.float32(black),
+                jnp.float32(white),
+                res_scalar=self.res_scalar, is_hdr=self.is_hdr,
+                dim_y=self.h, dim_x=self.w)
         if self.use_warp_band and mode in (0, 1, 2) and wctx0 is not None:
             self.warp_apron_used = warp_band.pick_apron(flow_bound, apron)
             # Chain bounds from the same certificate: a subtile's row residual

