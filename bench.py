@@ -48,6 +48,7 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import os
 import sys
 import time
 
@@ -83,6 +84,12 @@ def main() -> None:
     cfg = CONFIGS[args.config]
     if args.target_fps:
         cfg = dict(cfg, target_fps=args.target_fps)
+
+    # A dead tunnel relay makes backend init HANG inside a connect loop rather
+    # than raise (observed round 3/4 outages) — guard it with a daemon-thread
+    # watchdog so the driver still gets the one-line JSON error artifact.
+    _init_backend_with_timeout(
+        float(os.environ.get("HRT_BENCH_INIT_TIMEOUT", "180")))
 
     import jax
     import jax.numpy as jnp
@@ -290,6 +297,40 @@ def main() -> None:
             file=sys.stderr,
         )
     print(json.dumps(result))
+
+
+def _init_backend_with_timeout(timeout_s: float) -> None:
+    """jax.devices() in a daemon thread with a deadline: a dead tunnel relay
+    blocks backend init forever (no exception), which would otherwise leave
+    the driver with no artifact at all. Raises TimeoutError on deadline and
+    re-raises any backend init error; the daemon thread cannot be killed but
+    does not block interpreter exit."""
+    import threading
+
+    box: dict = {}
+
+    def worker():
+        try:
+            import jax
+
+            # The axon plugin ignores the JAX_PLATFORMS env var; only the
+            # config key reroutes (same workaround as tests/conftest.py) —
+            # honor the env so `JAX_PLATFORMS=cpu python bench.py` works.
+            if os.environ.get("JAX_PLATFORMS"):
+                jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+            box["devices"] = jax.devices()
+        except BaseException as exc:  # noqa: BLE001 - reported by the caller
+            box["error"] = exc
+
+    th = threading.Thread(target=worker, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive():
+        raise TimeoutError(
+            f"TPU backend init did not complete in {timeout_s:.0f}s "
+            "(tunnel relay down/hung?)")
+    if "error" in box:
+        raise box["error"]
 
 
 def _classify_failure(exc: BaseException) -> str:
