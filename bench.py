@@ -48,6 +48,7 @@ from __future__ import annotations
 import argparse
 import functools
 import json
+import math
 import os
 import sys
 import time
@@ -80,6 +81,11 @@ def main() -> None:
                     help="override the config's output rate (e.g. 120 for the"
                          " BASELINE 4K HDR 24->120 config); the budget stays"
                          " 1/source_fps")
+    ap.add_argument("--batched-warp", action="store_true",
+                    help="account warps per PAIR via warp_frames_batch (one"
+                         " vmapped table build + one band launch for all of a"
+                         " source interval's outputs) instead of per output;"
+                         " requires the band kernel route")
     args = ap.parse_args()
     cfg = CONFIGS[args.config]
     if args.target_fps:
@@ -183,7 +189,7 @@ def main() -> None:
                       f"{''.join(t if len(t) == 1 else t.lower() for t in plan)}"
                       f"; warp apron bound {bound_chain}",
                       file=sys.stderr)
-        flow_unit, warp_unit, wctx_unit = engine.bench_units()
+        flow_unit, warp_unit, wctx_unit, warp_batch_unit = engine.bench_units()
         # Re-apply the kernel override (bench_units re-derives band routing
         # when the apron changes with the radius bucket).
         if args.warp == "strip":
@@ -243,9 +249,48 @@ def main() -> None:
             return acc
 
         flow_ms = slope_ms(flow_chain, args.k1, args.k2)
-        warp_ms = slope_ms(warp_chain, args.k1, args.k2)
         wctx_ms = slope_ms(wctx_chain, args.k1, args.k2) \
             if engine.use_warp_strips else 0.0
+        if args.batched_warp:
+            # Per-PAIR batched accounting: one warp_frames_batch dispatch per
+            # source interval. Fractional cadence (e.g. 24->60 = 2.5) mixes
+            # floor/ceil batch sizes exactly like the served cadence does.
+            assert engine.use_warp_band, "--batched-warp needs the band route"
+
+            @functools.partial(jax.jit, static_argnames=("k", "t_batch"))
+            def warp_batch_chain(salt, *, k: int, t_batch: int):
+                acc = jnp.uint32(salt)
+                fl = flow_prev
+                ts = (jnp.arange(t_batch, dtype=jnp.float32) + 0.5) / t_batch
+                for _ in range(k):
+                    fl = fl + (acc % 2).astype(jnp.int16)
+                    if B == 1:
+                        r = warp_batch_unit(f1y[0], f1uv[0], f2y[0], f2uv[0],
+                                            fl[0], ts)
+                    else:
+                        r = jnp.sum(jax.vmap(
+                            lambda a, b, c, d, f: warp_batch_unit(
+                                a, b, c, d, f, ts))(f1y, f1uv, f2y, f2uv, fl))
+                    acc = jax.lax.optimization_barrier(acc + r)
+                return acc
+
+            t_lo = math.floor(outputs_per_source)
+            t_hi = math.ceil(outputs_per_source)
+            assert t_lo >= 2, "--batched-warp needs >= 2 outputs per source"
+            frac = outputs_per_source - t_lo
+            warp_src_ms = slope_ms(
+                lambda salt, *, k: warp_batch_chain(salt, k=k, t_batch=t_lo),
+                args.k1, args.k2)
+            if frac > 0:
+                hi_ms = slope_ms(
+                    lambda salt, *, k: warp_batch_chain(salt, k=k,
+                                                        t_batch=t_hi),
+                    args.k1, args.k2)
+                warp_src_ms = (1 - frac) * warp_src_ms + frac * hi_ms
+            per_source_ms = (flow_ms + wctx_ms + warp_src_ms) / B
+            return (flow_ms, (warp_src_ms + wctx_ms) / outputs_per_source,
+                    per_source_ms)
+        warp_ms = slope_ms(warp_chain, args.k1, args.k2)
         per_source_ms = (flow_ms + wctx_ms
                          + outputs_per_source * warp_ms) / B
         return flow_ms, warp_ms + wctx_ms / outputs_per_source, per_source_ms
@@ -274,6 +319,8 @@ def main() -> None:
     suffix = f"_x{B}streams" if B > 1 else ""
     if args.target_fps:
         suffix += f"_to{args.target_fps:g}fps"
+    if args.batched_warp:
+        suffix += "_batched"
     result = {
         "metric": f"{args.config}{suffix}_flow_plus_warp_per_source_frame",
         "value": round(per_source_ms, 3),

@@ -51,6 +51,17 @@ def _band_rs_enabled(res_scalar: int) -> bool:
     return res_scalar >= 2 or os.environ.get("HRT_BAND_RS1") == "1"
 
 
+def batched_warp_enabled() -> bool:
+    """Per-pair batched warp gate (warp_frames_batch): one table build + one
+    band-kernel launch for ALL of a source interval's outputs. Bit-exact vs
+    the per-output path (tests/test_warp_band.py batched suite) but the
+    t-folded Mosaic grid (b % n_bands source origins, dynamic SMEM fs index)
+    has not yet run on hardware, so it is opt-in until
+    scripts/tpu_band_check.py batch passes on chip — then flip this default
+    (ROADMAP round-4 chip queue)."""
+    return os.environ.get("HRT_BATCHED_WARP") == "1"
+
+
 def estimate_hbm_bytes(frame_height: int, frame_width: int, *, is_hdr: bool,
                        max_calc_res: int = config.MAX_CALC_RES,
                        warp_band_packed: bool | None = None) -> int:
@@ -520,6 +531,21 @@ class OpticalFlowEngine:
             return self.black_level * 256.0, self.white_level * 256.0
         return self.black_level, self.white_level
 
+    def _band_plan(self, flow_bound, apron) -> tuple:
+        """Host-planned band-kernel variant for this frame's certified flow
+        bound: sets warp_apron_used (the apron tier) and warp_chain_bounds,
+        returning the chain bounds. Chain bounds from the same certificate: a
+        subtile's row residual spread is <= 2*bound + 7, so (32,32) routes
+        EVERY subtile through the select-chain fast path on scattered flow up
+        to |flow| <= 12 (the adversarial regime that otherwise rides per-cell
+        chains); (16,16) stays the converged-content default."""
+        self.warp_apron_used = warp_band.pick_apron(flow_bound, apron)
+        cb = (16, 16)
+        if flow_bound is not None and 16 < 2 * flow_bound + 8 <= 32:
+            cb = (32, 32)
+        self.warp_chain_bounds = cb
+        return cb
+
     def _run_warp(self, wctx0, wctx1, f0, f1, flow, blending_scalar,
                   mode: int, *, apron, flow_bound=None):
         """The engine's warp for one output frame — the SINGLE definition used
@@ -565,16 +591,7 @@ class OpticalFlowEngine:
                 res_scalar=self.res_scalar, is_hdr=self.is_hdr,
                 dim_y=self.h, dim_x=self.w)
         if self.use_warp_band and mode in (0, 1, 2) and wctx0 is not None:
-            self.warp_apron_used = warp_band.pick_apron(flow_bound, apron)
-            # Chain bounds from the same certificate: a subtile's row residual
-            # spread is <= 2*bound + 7, so (32,32) routes EVERY subtile
-            # through the select-chain fast path on scattered flow up to
-            # |flow| <= 12 (the adversarial regime that otherwise rides
-            # per-cell chains); (16,16) stays the converged-content default.
-            cb = (16, 16)
-            if flow_bound is not None and 16 < 2 * flow_bound + 8 <= 32:
-                cb = (32, 32)
-            self.warp_chain_bounds = cb
+            cb = self._band_plan(flow_bound, apron)
             return warp_band.warp_frame_band(
                 wctx0, wctx1, flow,
                 jnp.float32(blending_scalar), jnp.float32(black), jnp.float32(white),
@@ -616,6 +633,56 @@ class OpticalFlowEngine:
         self.warp_time.record(time.perf_counter() - start)
         return y, uv
 
+    def _run_warp_batch(self, wctx0, wctx1, flow, ts, mode: int, *,
+                        apron, flow_bound=None):
+        """Batched twin of _run_warp for the band path: one call, (T,) ts,
+        (T, ...) outputs. Same host plan (apron tier + chain bounds)."""
+        cb = self._band_plan(flow_bound, apron)
+        black, white = self._levels()
+        return warp_band.warp_frame_band(
+            wctx0, wctx1, flow, ts,
+            jnp.float32(black), jnp.float32(white),
+            res_scalar=self.res_scalar, mode=mode, is_hdr=self.is_hdr,
+            dim_y=self.h, dim_x=self.w, apron=apron,
+            apron_eff=self.warp_apron_used, chain_bounds=cb,
+            interpret=self._band_interpret)
+
+    def warp_frames_batch(self, blending_scalars, frame_output_mode: int):
+        """All of one source interval's outputs in ONE dispatch: a single
+        vmapped table build + a single band-kernel launch over the whole
+        blending-scalar vector (warp_frame_band with a (T,) t operand). The
+        per-output XLA prep (~1.8 ms of displacement/fast tables) and the
+        dispatch round trip are paid ONCE per pair instead of per output —
+        the lever that fits 5 warps/source into the 24->120 budget. Outputs
+        are bit-identical to T warp_frames calls (tests/test_warp_band.py,
+        tests/test_round4.py). Falls back to the per-output path whenever the
+        band kernel is not routed. Returns a list of (y, uv) device arrays.
+        (ref analogue: the per-output WarpFrame loop, HopperRender.cpp:
+        1031-1043/1191-1197 — collapsed host-side because every scalar of the
+        interval is known as soon as the pair's flow is.)"""
+        mode = int(frame_output_mode)
+        scalars = [float(s) for s in blending_scalars]
+        if any(s > 1.0 for s in scalars):
+            raise ValueError("Blending scalar is greater than 1.0")
+        if not (self.use_warp_band and mode in (0, 1, 2)
+                and self._wctxs[0] is not None and len(scalars) > 1):
+            return [self.warp_frames(s, mode) for s in scalars]
+        start = time.perf_counter()
+        y, uv = self._run_warp_batch(
+            self._wctxs[0], self._wctxs[1], self._blurred[0],
+            jnp.asarray(scalars, jnp.float32), mode,
+            apron=self._apron, flow_bound=self._flow_bounds[0])
+        if self.timing_fetch:
+            int(uv[0, 0, 0])
+        else:
+            uv.block_until_ready()
+        # The scaler consumes per-output warp durations (240-frame window):
+        # attribute the batch evenly so window sums match the per-output path.
+        per = (time.perf_counter() - start) / len(scalars)
+        for _ in scalars:
+            self.warp_time.record(per)
+        return [(y[i], uv[i]) for i in range(len(scalars))]
+
     def copy_frame(self):
         """Passthrough of the pipeline-latency-matched slot
         (ref: opticalFlowCalcSDR.cpp:170-183)."""
@@ -653,8 +720,9 @@ class OpticalFlowEngine:
         wctx_unit). wctx_unit(y, uv) = ONE warp-context build+pack, the
         engine's actual per-source-frame warp overhead. All route through
         the same _run_pyramid/_run_warp/_build_wctx the streaming path uses,
-        at the current radius bucket. Returns (flow_unit, warp_unit,
-        wctx_unit)."""
+        at the current radius bucket. warp_batch_unit(..., ts) = the per-pair
+        BATCHED warp (warp_frames_batch chain) over a (T,) scalar vector.
+        Returns (flow_unit, warp_unit, wctx_unit, warp_batch_unit)."""
         self._refresh_geometry()
         num_layers = self._bucket
         apron = self._apron
@@ -701,6 +769,18 @@ class OpticalFlowEngine:
             return (jnp.sum(y[0, :8].astype(jnp.uint32))
                     + jnp.sum(uv[0, :8].astype(jnp.uint32)))
 
+        def warp_batch_unit(y1, uv1, y2, uv2, flow, ts, mode=2):
+            """One per-pair BATCHED warp (all T outputs of a source interval
+            in one dispatch) — the warp_frames_batch chain, context builds
+            held loop-invariant exactly like warp_unit."""
+            w0 = self._build_wctx(y1, uv1)
+            w1 = self._build_wctx(y2, uv2)
+            y, uv = self._run_warp_batch(w0, w1, flow, ts, int(mode),
+                                         apron=apron,
+                                         flow_bound=self._flow_bounds[0])
+            return (jnp.sum(y[:, 0, :8].astype(jnp.uint32))
+                    + jnp.sum(uv[:, 0, :8].astype(jnp.uint32)))
+
         def wctx_unit(y, uv):
             if not self.use_warp_strips:
                 return jnp.uint32(0)
@@ -712,4 +792,4 @@ class OpticalFlowEngine:
                 acc = acc + jnp.sum(leaf.astype(jnp.uint32))
             return acc
 
-        return flow_unit, warp_unit, wctx_unit
+        return flow_unit, warp_unit, wctx_unit, warp_batch_unit

@@ -193,6 +193,7 @@ def _merge_cells_kernel(
     is_uv: bool, n_par: int, cpt: int, nk: int, xdiv8: int, sdiv8: int,
     res_v: int = RES_V, res_h: int = RES_H,
     row_shift: int = 0, lane_shift: int = 0, slot16: bool = False,
+    nb_mod: int | None = None,
 ):
     """Kernel factory. Refs:
       disp_ref  SMEM (1, 8, cpb*cpt*nk/8) int32, flattened per-cell records of
@@ -210,6 +211,13 @@ def _merge_cells_kernel(
       out_ref   VMEM (band_rows, tile_w32) u32
       band12/21 VMEM (n_par, band_rows + 2*a_rows + RV, c32_alloc) u32 scratch
       sem       DMA  (2, n_par)
+
+    nb_mod: per-pair BATCHED grid (warp_frame_band with a (T,) blending-scalar
+    vector). The leading grid axis runs t_batch * n_bands steps with the per-t
+    tables stacked along the band axis (so every block-indexed ref needs no
+    change); only the source planes are shared across t, so the band DMA
+    origin uses (band % nb_mod), and fs_ref is (t_batch, 1) indexed by
+    (band // nb_mod).
     """
     rows = band_rows + 2 * a_rows
     c32_dma = _round_up(c32, 128)     # lane-dim DMA slices must be 128-aligned
@@ -232,6 +240,9 @@ def _merge_cells_kernel(
         row_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         b = pl.program_id(0)
         t = pl.program_id(1)
+        # Batched grid: b runs over t_batch * n_bands band-stacked table
+        # blocks; the shared sources are indexed by the band within the pair.
+        bsrc = b if nb_mod is None else b % nb_mod
         copies = []
         for si, (src, band) in enumerate(((src12_ref, band12),
                                           (src21_ref, band21))):
@@ -247,7 +258,7 @@ def _merge_cells_kernel(
                 # DMA pulls only the rows/lanes the certified displacement
                 # bound can reach.
                 c = pltpu.make_async_copy(
-                    src.at[q, pl.ds(b * band_rows + row_shift, rows),
+                    src.at[q, pl.ds(bsrc * band_rows + row_shift, rows),
                            pl.ds(t * tile_w32 + lane_shift, c32_dma)],
                     band.at[q, pl.ds(0, rows), pl.ds(0, c32_dma)],
                     sem.at[si, q],
@@ -257,7 +268,7 @@ def _merge_cells_kernel(
         for c in copies:
             c.wait()
 
-        fs12 = fs_ref[0, 0]
+        fs12 = fs_ref[0, 0] if nb_mod is None else fs_ref[b // nb_mod, 0]
         fs21 = (F32(1.0) - fs12).astype(F32)
 
         def fetch_cell(band, r0, p, q_par, target_lane):
@@ -449,7 +460,7 @@ def _band_call(disp, fscal, fs, lev, fmap, src12, src21, *, cell,
                out_rows, mode, is_hdr, is_uv, n_par, interpret,
                res_v=RES_V, res_h=RES_H, row_shift=0, lane_shift=0,
                slot16=False, n_bands=None, band_start=None,
-               n_bands_local=None, full_apron=None):
+               n_bands_local=None, full_apron=None, t_batch=1):
     """band_start / n_bands_local: mesh row-band sharding (parallel/mesh.py).
     The per-band operands (disp, fscal, fmap) and the packed sources are
     sliced to this shard's contiguous run of bands BEFORE the pallas_call, so
@@ -457,9 +468,17 @@ def _band_call(disp, fscal, fs, lev, fmap, src12, src21, *, cell,
     b*band_rows against the shard-local source view. band_start is a traced
     band index (lax.axis_index * n_bands_local); n_bands_local is static.
     full_apron: the packed layout's apron (>= a_rows when an apron tier is
-    active); the source row slice must span it."""
+    active); the source row slice must span it.
+
+    t_batch: per-pair batched outputs. The per-t tables (disp/fscal/fmap) are
+    stacked along the band axis (t-major), fs is (t_batch, 1), and the grid's
+    leading axis runs t_batch * n_bands steps; the kernel re-derives the
+    source band as (b % n_bands). Output rows gain a leading t_batch factor.
+    Mutually exclusive with mesh band sharding (band_start)."""
     if n_bands is None:
         n_bands = -(-out_rows // band_rows)
+    assert t_batch == 1 or band_start is None, \
+        "batched warp does not compose with mesh band sharding yet"
     cpb, cpt, k = disp.shape[2:]
     xdiv8 = cpb * cpt * k // 8
     n_groups = (band_rows // 8) * (tile_w32 // 128)
@@ -470,11 +489,12 @@ def _band_call(disp, fscal, fs, lev, fmap, src12, src21, *, cell,
         c32=c32, c32_alloc=c32_alloc, tile_w32=tile_w32, mode=mode,
         is_hdr=is_hdr, is_uv=is_uv, n_par=n_par, cpt=cpt, nk=k, xdiv8=xdiv8,
         sdiv8=sdiv8, res_v=res_v, res_h=res_h,
-        row_shift=row_shift, lane_shift=lane_shift, slot16=slot16)
+        row_shift=row_shift, lane_shift=lane_shift, slot16=slot16,
+        nb_mod=n_bands if t_batch > 1 else None)
     disp = disp.reshape(disp.shape[0], disp.shape[1] * 8, xdiv8)
     # fscal: (n_gr_total, n_tiles, n_sub, 2) -> (nb, nt*8, sdiv8)
     n_sub = tile_w32 // 128
-    nb = n_bands
+    nb = t_batch * n_bands
     f = fscal.reshape(nb, band_rows // 8, fscal.shape[1], n_sub, 2)
     f = f.transpose(0, 2, 1, 3, 4).reshape(nb, fscal.shape[1], n_groups * 2)
     if ns != n_groups * 2:
@@ -503,7 +523,7 @@ def _band_call(disp, fscal, fs, lev, fmap, src12, src21, *, cell,
         n_bands = n_bands_local
     return pl.pallas_call(
         kern,
-        grid=(n_bands, n_tiles),
+        grid=(t_batch * n_bands, n_tiles),
         in_specs=[
             pl.BlockSpec((1, 8, xdiv8), lambda b, t: (b, t, 0),
                          memory_space=pltpu.SMEM),
@@ -518,7 +538,7 @@ def _band_call(disp, fscal, fs, lev, fmap, src12, src21, *, cell,
         ],
         out_specs=pl.BlockSpec((band_rows, tile_w32), lambda b, t: (b, t),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_bands * band_rows,
+        out_shape=jax.ShapeDtypeStruct((t_batch * n_bands * band_rows,
                                         n_tiles * tile_w32), U32),
         scratch_shapes=[
             # +RV_SLACK rows: cell/window fetches load up to res_v+8 sublanes
@@ -658,6 +678,15 @@ def warp_frame_band(
     """Pallas twin of warp_strip.warp_frame_strip (identical outputs) for modes
     0/1/2. Consumes the same per-frame warp contexts.
 
+    blending_scalar: a scalar (one output, planes shaped (dim_y, dim_x) /
+    (dim_y/2, dim_x)), or a (T,) vector — the per-pair BATCHED path: ONE
+    vmapped table build and ONE kernel launch produce all T outputs with a
+    leading batch axis, bit-identical to T scalar calls
+    (tests/test_round4.py). The packed sources, per-source pre-pack, and all
+    static geometry are shared across t; only the t-dependent tables
+    replicate. This removes the per-output XLA prep and dispatch cost — the
+    24->120 fps lever (5 outputs/pair).
+
     chain_bounds = (res_v, res_h) sets the fast path's per-subtile residual
     bounds and therefore its select-chain lengths. OUTPUTS ARE IDENTICAL for
     any bounds — the per-subtile certificate is computed against the active
@@ -706,14 +735,17 @@ def warp_frame_band(
     dtype = jnp.uint16 if is_hdr else jnp.uint8
     slot16 = rs == 1 and not is_hdr      # see _geometries
 
-    t = jnp.asarray(blending_scalar, F32)
-    dx12, dy12, dx21, dy21, dy12_uv, dy21_uv = _cell_displacements(
-        flow, t, rs, low_h, low_w)
-    fs = jnp.full((1, 1), t, F32)
+    ts = jnp.asarray(blending_scalar, F32)
+    batched = ts.ndim == 1
+    t_batch = int(ts.shape[0]) if batched else 1
+    assert ts.ndim <= 1
+    assert not batched or (shard_index is None and not debug_prep_only), \
+        "batched (vector-t) warp: single-chip, non-debug only"
+    fs = ts.reshape(t_batch, 1)
     lev = jnp.stack([jnp.asarray(black_level, F32),
                      jnp.asarray(white_level, F32)]).reshape(1, 2)
 
-    # ---- Y plane -------------------------------------------------------------
+    # ---- Y plane static geometry ---------------------------------------------
     band_rows, n_tiles, c32_full, _ = gy
     tile_w32 = w32 // n_tiles
     cb = cell // per32
@@ -734,40 +766,117 @@ def warp_frame_band(
     pad_cx = n_tiles * cpt - n_cx
     row_idx = jnp.clip(jnp.arange(n_cy, dtype=jnp.int32), 0, low_h - 1)
     col_idx = jnp.clip(jnp.arange(n_cx, dtype=jnp.int32), 0, low_w - 1)
-
-    def y_table(dy, dx):
-        dyc = dy[row_idx][:, col_idx]
-        dxc = dx[row_idx][:, col_idx]
-        if pad_cx:
-            # Edge-pad: padded cells replicate the last real cell so they
-            # cannot break the fast path's per-subtile min/max bounds (their
-            # outputs are sliced off).
-            dyc = jnp.pad(dyc, ((0, 0), (0, pad_cx)), mode="edge")
-            dxc = jnp.pad(dxc, ((0, 0), (0, pad_cx)), mode="edge")
-        cx_in_tile = jnp.arange(dxc.shape[1], dtype=jnp.int32) % cpt
-        return dyc + aw, cx_in_tile[None, :] * cell + dxc + org_y
-
-    r12, p12 = y_table(dy12, dx12)
-    r21, p21 = y_table(dy21, dx21)
-    dispY = jnp.stack([r12, p12, r21, p21], axis=-1)
     cpb = band_rows // cell
     nb_y = _round_up(-(-dim_y // band_rows), num_shards)
-    if nb_y * cpb > n_cy:
-        dispY = jnp.pad(dispY, ((0, nb_y * cpb - n_cy), (0, 0), (0, 0)),
-                        mode="edge")
-    fm12, fsc12 = _fast_tables(
-        dispY[..., 0], dispY[..., 1], None, cell=cell, per32=per32, cb=cb,
-        cps=cps, band_rows=band_rows, n_tiles=n_tiles, cpt=cpt,
-        c32_alloc=c32_alloc, res_v=res_v, res_h=res_h)
-    fm21, fsc21 = _fast_tables(
-        dispY[..., 2], dispY[..., 3], None, cell=cell, per32=per32, cb=cb,
-        cps=cps, band_rows=band_rows, n_tiles=n_tiles, cpt=cpt,
-        c32_alloc=c32_alloc, res_v=res_v, res_h=res_h)
-    fscY = jnp.stack([fsc12, fsc21], axis=-1)
-    fmY = fm12 | (fm21 << 16)      # both sources' 16-bit maps in one i32
-    dispY = (dispY.reshape(nb_y, cpb, n_tiles, cpt, 4)
-             .transpose(0, 2, 1, 3, 4))
 
+    # ---- UV plane static geometry (pair elements; parity-stacked planes) ------
+    band_c, n_tiles_c, c32c_full, _ = gc
+    tile_w32c = w32c // n_tiles_c
+    sc_pairs = cell                    # supercell = 2 x-cells sharing flow
+    cbc = sc_pairs // per32c
+    cpsc = (128 * per32c) // sc_pairs
+    h2 = dim_y // 2
+    ac = a // 2
+    awc = aw // 2
+    row_shift_c = ac - awc
+    _slrc = row_shift_c // per32c
+    lane_shift_c = _slrc & ~127
+    org_c = awc + (_slrc - lane_shift_c) * per32c
+    c32c = tile_w32c + 2 * (awc // per32c) + (_slrc - lane_shift_c)
+    c32c_alloc = max(WW + 128, _round_up(c32c + cbc + 1, 128))
+    n_scx = dim_x // (2 * cell)
+    cptc = (tile_w32c * per32c) // sc_pairs
+    pad_scx = n_tiles_c * cptc - n_scx
+    sc_row = jnp.clip(jnp.arange(h2 // cell, dtype=jnp.int32) << 1, 0,
+                      low_h - 1)
+    sc_col = jnp.clip(jnp.arange(n_scx, dtype=jnp.int32) * 2, 0, low_w - 1)
+    cpbc = band_c // cell
+    nb_c = _round_up(-(-h2 // band_c), num_shards)
+    n_scy = h2 // cell
+
+    def _tables(t):
+        """Everything the blending scalar touches, for ONE output t: per-cell
+        displacement tables, fast-path certificates, and residual maps for
+        both planes. Vmapped over the (T,) scalar vector on the batched
+        (per-pair) path — the sources and all static geometry are shared."""
+        dx12, dy12, dx21, dy21, dy12_uv, dy21_uv = _cell_displacements(
+            flow, t, rs, low_h, low_w)
+
+        def y_table(dy, dx):
+            dyc = dy[row_idx][:, col_idx]
+            dxc = dx[row_idx][:, col_idx]
+            if pad_cx:
+                # Edge-pad: padded cells replicate the last real cell so they
+                # cannot break the fast path's per-subtile min/max bounds
+                # (their outputs are sliced off).
+                dyc = jnp.pad(dyc, ((0, 0), (0, pad_cx)), mode="edge")
+                dxc = jnp.pad(dxc, ((0, 0), (0, pad_cx)), mode="edge")
+            cx_in_tile = jnp.arange(dxc.shape[1], dtype=jnp.int32) % cpt
+            return dyc + aw, cx_in_tile[None, :] * cell + dxc + org_y
+
+        r12, p12 = y_table(dy12, dx12)
+        r21, p21 = y_table(dy21, dx21)
+        dispY = jnp.stack([r12, p12, r21, p21], axis=-1)
+        if nb_y * cpb > n_cy:
+            dispY = jnp.pad(dispY, ((0, nb_y * cpb - n_cy), (0, 0), (0, 0)),
+                            mode="edge")
+        fm12, fsc12 = _fast_tables(
+            dispY[..., 0], dispY[..., 1], None, cell=cell, per32=per32, cb=cb,
+            cps=cps, band_rows=band_rows, n_tiles=n_tiles, cpt=cpt,
+            c32_alloc=c32_alloc, res_v=res_v, res_h=res_h)
+        fm21, fsc21 = _fast_tables(
+            dispY[..., 2], dispY[..., 3], None, cell=cell, per32=per32, cb=cb,
+            cps=cps, band_rows=band_rows, n_tiles=n_tiles, cpt=cpt,
+            c32_alloc=c32_alloc, res_v=res_v, res_h=res_h)
+        fscY = jnp.stack([fsc12, fsc21], axis=-1)
+        fmY = fm12 | (fm21 << 16)      # both sources' 16-bit maps in one i32
+        dispY = (dispY.reshape(nb_y, cpb, n_tiles, cpt, 4)
+                 .transpose(0, 2, 1, 3, 4))
+
+        def uv_table(dx, dyuv):
+            dxc = dx[sc_row][:, sc_col]
+            dyc = dyuv[sc_row][:, sc_col]
+            if pad_scx:
+                dxc = jnp.pad(dxc, ((0, 0), (0, pad_scx)), mode="edge")
+                dyc = jnp.pad(dyc, ((0, 0), (0, pad_scx)), mode="edge")
+            q = (dxc & 1).astype(jnp.int32)
+            sc_in_tile = jnp.arange(dxc.shape[1], dtype=jnp.int32) % cptc
+            p = sc_in_tile[None, :] * sc_pairs + ((dxc - q) >> 1) + org_c
+            return dyc + awc, p, q
+
+        rc12, pc12, q12 = uv_table(dx12, dy12_uv)
+        rc21, pc21, q21 = uv_table(dx21, dy21_uv)
+        dispC = jnp.stack([rc12, pc12, rc21, pc21, q12, q21], axis=-1)
+        if nb_c * cpbc > n_scy:
+            dispC = jnp.pad(dispC, ((0, nb_c * cpbc - n_scy), (0, 0), (0, 0)),
+                            mode="edge")
+        fmc12, fscc12 = _fast_tables(
+            dispC[..., 0], dispC[..., 1], dispC[..., 4], cell=cell,
+            per32=per32c, cb=cbc, cps=cpsc, band_rows=band_c,
+            n_tiles=n_tiles_c, cpt=cptc, c32_alloc=c32c_alloc,
+            res_v=res_v, res_h=res_h)
+        fmc21, fscc21 = _fast_tables(
+            dispC[..., 2], dispC[..., 3], dispC[..., 5], cell=cell,
+            per32=per32c, cb=cbc, cps=cpsc, band_rows=band_c,
+            n_tiles=n_tiles_c, cpt=cptc, c32_alloc=c32c_alloc,
+            res_v=res_v, res_h=res_h)
+        fscC = jnp.stack([fscc12, fscc21], axis=-1)
+        fmC = fmc12 | (fmc21 << 16)
+        dispC = (dispC.reshape(nb_c, cpbc, n_tiles_c, cptc, 6)
+                 .transpose(0, 2, 1, 3, 4))
+        return dispY, fscY, fmY, dispC, fscC, fmC
+
+    if not batched:
+        dispY, fscY, fmY, dispC, fscC, fmC = _tables(ts)
+    else:
+        # Per-pair batched: one table build for ALL T outputs, folded t-major
+        # into the band axis (the kernel re-derives the source band via
+        # b % n_bands; see _band_call t_batch).
+        dispY, fscY, fmY, dispC, fscC, fmC = (
+            x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
+            for x in jax.vmap(_tables)(ts))
+
+    # ---- Y plane ---------------------------------------------------------------
     # Pack layout (pre-pack match + repack fallback) is ALWAYS full-apron.
     min_w32 = (n_tiles - 1) * tile_w32 + _round_up(c32_full, 128)
     min_rows_y = nb_y * band_rows + 2 * a
@@ -800,68 +909,19 @@ def warp_frame_band(
             n_bands=nb_y, band_start=(
                 None if shard_index is None
                 else shard_index * (nb_y // num_shards)),
-            n_bands_local=nb_y // num_shards, full_apron=a)
-        rows_y_out = dim_y if shard_index is None else None
-        y = jax.lax.bitcast_convert_type(
-            outy, jnp.uint16 if slot16 else dtype).reshape(
-            outy.shape[0], -1)[:rows_y_out, :dim_x].astype(dtype)
+            n_bands_local=nb_y // num_shards, full_apron=a,
+            t_batch=t_batch)
+        if batched:
+            y = jax.lax.bitcast_convert_type(
+                outy, jnp.uint16 if slot16 else dtype).reshape(
+                t_batch, nb_y * band_rows, -1)[:, :dim_y, :dim_x].astype(dtype)
+        else:
+            rows_y_out = dim_y if shard_index is None else None
+            y = jax.lax.bitcast_convert_type(
+                outy, jnp.uint16 if slot16 else dtype).reshape(
+                outy.shape[0], -1)[:rows_y_out, :dim_x].astype(dtype)
 
-    # ---- UV plane (pair elements; parity-stacked planes) ----------------------
-    band_c, n_tiles_c, c32c_full, _ = gc
-    tile_w32c = w32c // n_tiles_c
-    sc_pairs = cell                    # supercell = 2 x-cells sharing flow
-    cbc = sc_pairs // per32c
-    cpsc = (128 * per32c) // sc_pairs
-    h2 = dim_y // 2
-    ac = a // 2
-    awc = aw // 2
-    row_shift_c = ac - awc
-    _slrc = row_shift_c // per32c
-    lane_shift_c = _slrc & ~127
-    org_c = awc + (_slrc - lane_shift_c) * per32c
-    c32c = tile_w32c + 2 * (awc // per32c) + (_slrc - lane_shift_c)
-    c32c_alloc = max(WW + 128, _round_up(c32c + cbc + 1, 128))
-    n_scx = dim_x // (2 * cell)
-    cptc = (tile_w32c * per32c) // sc_pairs
-    pad_scx = n_tiles_c * cptc - n_scx
-
-    sc_row = jnp.clip(jnp.arange(h2 // cell, dtype=jnp.int32) << 1, 0,
-                      low_h - 1)
-    sc_col = jnp.clip(jnp.arange(n_scx, dtype=jnp.int32) * 2, 0, low_w - 1)
-
-    def uv_table(dx, dyuv):
-        dxc = dx[sc_row][:, sc_col]
-        dyc = dyuv[sc_row][:, sc_col]
-        if pad_scx:
-            dxc = jnp.pad(dxc, ((0, 0), (0, pad_scx)), mode="edge")
-            dyc = jnp.pad(dyc, ((0, 0), (0, pad_scx)), mode="edge")
-        q = (dxc & 1).astype(jnp.int32)
-        sc_in_tile = jnp.arange(dxc.shape[1], dtype=jnp.int32) % cptc
-        p = sc_in_tile[None, :] * sc_pairs + ((dxc - q) >> 1) + org_c
-        return dyc + awc, p, q
-
-    rc12, pc12, q12 = uv_table(dx12, dy12_uv)
-    rc21, pc21, q21 = uv_table(dx21, dy21_uv)
-    dispC = jnp.stack([rc12, pc12, rc21, pc21, q12, q21], axis=-1)
-    cpbc = band_c // cell
-    nb_c = _round_up(-(-h2 // band_c), num_shards)
-    n_scy = h2 // cell
-    if nb_c * cpbc > n_scy:
-        dispC = jnp.pad(dispC, ((0, nb_c * cpbc - n_scy), (0, 0), (0, 0)),
-                        mode="edge")
-    fmc12, fscc12 = _fast_tables(
-        dispC[..., 0], dispC[..., 1], dispC[..., 4], cell=cell, per32=per32c,
-        cb=cbc, cps=cpsc, band_rows=band_c, n_tiles=n_tiles_c, cpt=cptc,
-        c32_alloc=c32c_alloc, res_v=res_v, res_h=res_h)
-    fmc21, fscc21 = _fast_tables(
-        dispC[..., 2], dispC[..., 3], dispC[..., 5], cell=cell, per32=per32c,
-        cb=cbc, cps=cpsc, band_rows=band_c, n_tiles=n_tiles_c, cpt=cptc,
-        c32_alloc=c32c_alloc, res_v=res_v, res_h=res_h)
-    fscC = jnp.stack([fscc12, fscc21], axis=-1)
-    fmC = fmc12 | (fmc21 << 16)
-    dispC = (dispC.reshape(nb_c, cpbc, n_tiles_c, cptc, 6)
-             .transpose(0, 2, 1, 3, 4))
-
+    # ---- UV plane --------------------------------------------------------------
     min_w32c = (n_tiles_c - 1) * tile_w32c + _round_up(c32c_full, 128)
     min_rows_c = nb_c * band_c + 2 * ac
 
@@ -894,11 +954,18 @@ def warp_frame_band(
         n_bands=nb_c, band_start=(
             None if shard_index is None
             else shard_index * (nb_c // num_shards)),
-        n_bands_local=nb_c // num_shards, full_apron=ac)
+        n_bands_local=nb_c // num_shards, full_apron=ac,
+        t_batch=t_batch)
     pair_dtype = jnp.uint32 if is_hdr else jnp.uint16
-    pairs = jax.lax.bitcast_convert_type(outc, pair_dtype)
-    rows_c_out = h2 if shard_index is None else None
-    pairs = pairs.reshape(outc.shape[0], -1)[:rows_c_out, :dim_x // 2]
-    uv = jax.lax.bitcast_convert_type(pairs, dtype).reshape(
-        pairs.shape[0], dim_x)
+    if batched:
+        pairs = jax.lax.bitcast_convert_type(outc, pair_dtype).reshape(
+            t_batch, nb_c * band_c, -1)[:, :h2, :dim_x // 2]
+        uv = jax.lax.bitcast_convert_type(pairs, dtype).reshape(
+            t_batch, h2, dim_x)
+    else:
+        pairs = jax.lax.bitcast_convert_type(outc, pair_dtype)
+        rows_c_out = h2 if shard_index is None else None
+        pairs = pairs.reshape(outc.shape[0], -1)[:rows_c_out, :dim_x // 2]
+        uv = jax.lax.bitcast_convert_type(pairs, dtype).reshape(
+            pairs.shape[0], dim_x)
     return y, uv

@@ -32,7 +32,8 @@ import numpy as np
 
 from hopperrender_tpu import config
 from hopperrender_tpu.config import ActiveState, Settings
-from hopperrender_tpu.engine.flow_engine import OpticalFlowEngine
+from hopperrender_tpu.engine.flow_engine import (OpticalFlowEngine,
+                                                 batched_warp_enabled)
 from hopperrender_tpu.server import sidedata as sd
 from hopperrender_tpu.server.control import AutoQualityScaler, CadenceController
 from hopperrender_tpu.server.display import DisplayRatePoller
@@ -110,6 +111,7 @@ class FrameServer:
         self.height = height
         self._display_fps = display_fps
         self._device = device
+        self._batched_warp = batched_warp_enabled()
         target = self._resolve_target_fps()
         self.cadence = CadenceController(
             source_fps, target,
@@ -261,7 +263,10 @@ class FrameServer:
             )
 
         out_side = sd.passthrough(side_data)
-        outputs: list[OutputFrame] = []
+        # Plan every output of this source interval first (timing, scene gate,
+        # warp-or-copy) so interpolated outputs can share ONE batched warp
+        # dispatch (engine.warp_frames_batch) when the batched path is on.
+        plans: list[tuple] = []
         for _ in range(num_outputs):
             # Scene-change decision per output (constant within one source frame,
             # ref: HopperRender.cpp:1126-1176).
@@ -270,19 +275,34 @@ class FrameServer:
                 self.settings.scene_change_threshold,
             )
             timing = self.cadence.next_output_timing()
-            if state == ActiveState.ACTIVE and warmed and not scene_change:
+            interp = state == ActiveState.ACTIVE and warmed and not scene_change
+            plans.append((timing, scene_change, interp))
+            self.cadence.advance_blending()
+        warped: dict[int, tuple] = {}
+        batch_per = 0.0
+        warp_idx = [i for i, (_, _, interp) in enumerate(plans) if interp]
+        if self._batched_warp and len(warp_idx) > 1:
+            pairs = eng.warp_frames_batch(
+                [plans[i][0].blending_scalar for i in warp_idx],
+                self.settings.frame_output)
+            warped = dict(zip(warp_idx, pairs))
+            batch_per = eng.warp_time.current   # per-output share of the batch
+        outputs: list[OutputFrame] = []
+        for i, (timing, scene_change, interp) in enumerate(plans):
+            if i in warped:
+                oy, ouv = warped[i]
+                self.scaler.add_warp_duration(batch_per)
+            elif interp:
                 oy, ouv = eng.warp_frames(timing.blending_scalar, self.settings.frame_output)
-                interpolated = True
+                self.scaler.add_warp_duration(eng.warp_time.current)
             else:  # (ref: HopperRender.cpp:1179-1183)
                 oy, ouv = eng.copy_frame()
-                interpolated = False
-            self.scaler.add_warp_duration(eng.warp_time.current)
-            self.cadence.advance_blending()
+                self.scaler.add_warp_duration(eng.warp_time.current)
             outputs.append(OutputFrame(
                 y=np.asarray(oy), uv=np.asarray(ouv),
                 start_time=timing.start_time, end_time=timing.end_time,
                 blending_scalar=timing.blending_scalar,
-                interpolated=interpolated, scene_change=scene_change,
+                interpolated=interp, scene_change=scene_change,
                 side_data=dict(out_side),
             ))
         return outputs

@@ -36,6 +36,14 @@ run bench_120      python bench.py --config 4k-hdr --target-fps 120
 # 3) rs=1 band check (VERDICT #3) — then un-gate + re-bench 480p manually
 run band_rs1       python scripts/tpu_band_check.py rs1
 
+# 3b) per-pair batched warp (round-4 lever for 24->120): Mosaic lowering of
+# the t-folded grid, then the batched bench axes. On success flip
+# flow_engine.batched_warp_enabled's default.
+run band_batch     python scripts/tpu_band_check.py batch
+run band_batch4k   python scripts/tpu_band_check.py hdr 4k batch smooth
+run bench_batched     python bench.py --batched-warp
+run bench_batch120    python bench.py --config 4k-hdr --target-fps 120 --batched-warp
+
 # 4) adversarial axes (VERDICT #4)
 run bench_noise    python bench.py --content noise --flow-content random
 run bench_noise12  python bench.py --content noise --flow-content random --radius 12

@@ -60,6 +60,32 @@ def main():
               flush=True)
         if not ok:
             sys.exit(1)
+    if "batch" in sys.argv:
+        # Per-pair batched warp on hardware: the t-folded grid (b % n_bands
+        # source origins + dynamic SMEM fs index) is the one untested Mosaic
+        # lowering. Passing here is the gate for flipping
+        # flow_engine.batched_warp_enabled's default (HRT_BATCHED_WARP) and
+        # for benching with --batched-warp.
+        ts = jnp.asarray([0.2, 0.4, 0.6, 0.8, 1.0], jnp.float32)
+        kw = dict(res_scalar=rs, mode=2, is_hdr=is_hdr, dim_y=h, dim_x=w,
+                  apron=apron)
+        aw = warp_band.pick_apron(int(np.abs(flow).max()), apron)
+        print(f"batch: compiling T={ts.shape[0]} (apron_eff {aw})...",
+              flush=True)
+        yb, uvb = warp_band.warp_frame_band(
+            c1, c2, jnp.asarray(flow), ts, args[4], args[5],
+            apron_eff=aw, **kw)
+        yb, uvb = np.asarray(yb), np.asarray(uvb)
+        ok = True
+        for i in range(ts.shape[0]):
+            y1o, uv1o = warp_band.warp_frame_band(
+                c1, c2, jnp.asarray(flow), ts[i], args[4], args[5],
+                apron_eff=aw, **kw)
+            ok &= np.array_equal(yb[i], np.asarray(y1o))
+            ok &= np.array_equal(uvb[i], np.asarray(uv1o))
+        print(f"batch T={ts.shape[0]}: exact={ok}", flush=True)
+        if not ok:
+            sys.exit(1)
     print("BAND KERNEL OK ON TPU", flush=True)
 
 if __name__ == "__main__":

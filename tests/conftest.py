@@ -51,6 +51,7 @@ _EXHAUSTIVE_MODULES = {
     "test_flow_strip",
     "test_warp_strip",
     "test_flow_planned",
+    "test_round4",
 }
 
 

@@ -323,7 +323,8 @@ def test_multichip_stress_geometry_all_tiers(rng, sp):
     np.testing.assert_array_equal(np.asarray(got[3]), np.asarray(want[3]))
 
 
-@pytest.mark.parametrize("sp", [2, 4])
+@pytest.mark.parametrize("sp", [
+    2, pytest.param(4, marks=pytest.mark.exhaustive)])
 def test_multichip_band_warp_matches_single_device(rng, sp):
     """Row-BAND-sharded Pallas warp (the single-chip hot kernel on the mesh,
     VERDICT r3 missing #5) vs the full-frame band kernel, interpret mode.
@@ -370,6 +371,7 @@ def test_multichip_band_warp_matches_single_device(rng, sp):
         assert dy <= tol and duv <= tol, (mode, dy, duv)
 
 
+@pytest.mark.exhaustive
 def test_multichip_band_warp_apron_tier_matches(rng):
     """Host-planned apron tier composes with mesh sharding bit-identically
     (apron_eff only changes the band DMA window, never the outputs)."""
