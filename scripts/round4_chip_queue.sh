@@ -48,7 +48,8 @@ run bench_batch120    python bench.py --config 4k-hdr --target-fps 120 --batched
 run bench_noise    python bench.py --content noise --flow-content random
 run bench_noise12  python bench.py --content noise --flow-content random --radius 12
 
-# 5) served-path trajectory (VERDICT #5)
+# 5) served-path trajectory (VERDICT #5), then the batched-serving variant
 run served         python scripts/tpu_served_check.py
+run served_batched env HRT_BATCHED_WARP=1 python scripts/tpu_served_check.py
 
 echo "QUEUE COMPLETE"; cat "$SUMMARY"
