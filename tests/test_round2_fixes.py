@@ -206,18 +206,25 @@ def test_apron_invariance_of_outputs(rng):
     np.testing.assert_array_equal(outs[0][3], outs[1][3])
 
 
-def test_engine_apron_transitions_stay_exact(rng):
+@pytest.mark.parametrize("h,w,mcr,radii", [
+    # Smoke: tiny strip-path geometry (max_calc_res=16 -> rs=2 at 64x128,
+    # same transition mechanics); the production-size 576x192 sweep (~3 min
+    # on CPU) runs in the exhaustive tier.
+    (64, 128, 16, [16, 8, 5, 16]),
+    pytest.param(576, 192, config.MAX_CALC_RES, [16, 16, 8, 5, 5, 16],
+                 marks=pytest.mark.exhaustive),
+])
+def test_engine_apron_transitions_stay_exact(rng, h, w, mcr, radii):
     """Forcing the search radius across buckets mid-stream (engine rebuilds
     contexts at the new apron) must match an engine pinned at the max apron."""
     from hopperrender_tpu.engine.flow_engine import OpticalFlowEngine
     from hopperrender_tpu.ops import flow_strip
 
-    h, w = 576, 192  # > 270 lines: strip path (rs=2)
-    frames = [nv12.synthetic_frame(rng, h, w, motion_x=i * 2) for i in range(6)]
-    radii = [16, 16, 8, 5, 5, 16]
+    frames = [nv12.synthetic_frame(rng, h, w, motion_x=i * 2)
+              for i in range(len(radii))]
 
     def run(pin_max):
-        eng = OpticalFlowEngine(h, w)
+        eng = OpticalFlowEngine(h, w, max_calc_res=mcr)
         if pin_max:
             # Pin by monkeypatching the bucket to always report MAX.
             eng._radius_bucket = lambda: 16
