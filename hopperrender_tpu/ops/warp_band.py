@@ -471,26 +471,29 @@ def _band_call(disp, fscal, fs, lev, fmap, src12, src21, *, cell,
     active); the source row slice must span it.
 
     t_batch: per-pair batched outputs. The per-t tables (disp/fscal/fmap) are
-    stacked along the band axis (t-major), fs is (t_batch, 1), and the grid's
-    leading axis runs t_batch * n_bands steps; the kernel re-derives the
-    source band as (b % n_bands). Output rows gain a leading t_batch factor.
-    Mutually exclusive with mesh band sharding (band_start)."""
+    stacked along the band axis, fs is (t_batch, 1), and the grid's leading
+    axis runs t_batch * n_bands steps; the kernel re-derives the source band
+    as (b % n_bands). Output rows gain a leading t_batch factor. COMPOSES
+    with mesh band sharding: the caller folds the tables SHARD-major
+    ((S, T, nb_local) flattened), so each shard's grid run is one contiguous
+    dynamic_slice of t_batch * n_bands_local table blocks (offset
+    band_start * t_batch) while the source slice stays at band_start — the
+    kernel's modulus is then the shard-LOCAL band count."""
     if n_bands is None:
         n_bands = -(-out_rows // band_rows)
-    assert t_batch == 1 or band_start is None, \
-        "batched warp does not compose with mesh band sharding yet"
     cpb, cpt, k = disp.shape[2:]
     xdiv8 = cpb * cpt * k // 8
     n_groups = (band_rows // 8) * (tile_w32 // 128)
     ns = _round_up(n_groups * 2, 8)
     sdiv8 = ns // 8
+    nb_kernel = n_bands if band_start is None else n_bands_local
     kern = _merge_cells_kernel(
         cell=cell, per32=per32, cb=cb, band_rows=band_rows, a_rows=a_rows,
         c32=c32, c32_alloc=c32_alloc, tile_w32=tile_w32, mode=mode,
         is_hdr=is_hdr, is_uv=is_uv, n_par=n_par, cpt=cpt, nk=k, xdiv8=xdiv8,
         sdiv8=sdiv8, res_v=res_v, res_h=res_h,
         row_shift=row_shift, lane_shift=lane_shift, slot16=slot16,
-        nb_mod=n_bands if t_batch > 1 else None)
+        nb_mod=nb_kernel if t_batch > 1 else None)
     disp = disp.reshape(disp.shape[0], disp.shape[1] * 8, xdiv8)
     # fscal: (n_gr_total, n_tiles, n_sub, 2) -> (nb, nt*8, sdiv8)
     n_sub = tile_w32 // 128
@@ -505,13 +508,20 @@ def _band_call(disp, fscal, fs, lev, fmap, src12, src21, *, cell,
     # group (single-row dynamic loads don't lower on Mosaic).
     fmap = jnp.repeat(fmap, cell, axis=0)
     if band_start is not None:
-        assert nb % n_bands_local == 0, (nb, n_bands_local)
+        assert nb % (n_bands_local * t_batch) == 0, (nb, n_bands_local)
         fa = a_rows if full_apron is None else full_apron
         start = jnp.asarray(band_start, jnp.int32)
-        disp = jax.lax.dynamic_slice_in_dim(disp, start, n_bands_local, 0)
-        f = jax.lax.dynamic_slice_in_dim(f, start, n_bands_local, 0)
+        # Batched: the shard-major table fold puts this shard's t_batch *
+        # n_bands_local blocks in ONE contiguous run at band_start * t_batch;
+        # the packed sources are per-band only (no t axis), so their slice
+        # stays at band_start.
+        disp = jax.lax.dynamic_slice_in_dim(
+            disp, start * t_batch, n_bands_local * t_batch, 0)
+        f = jax.lax.dynamic_slice_in_dim(
+            f, start * t_batch, n_bands_local * t_batch, 0)
         fmap = jax.lax.dynamic_slice_in_dim(
-            fmap, start * band_rows, n_bands_local * band_rows, 0)
+            fmap, start * t_batch * band_rows,
+            n_bands_local * t_batch * band_rows, 0)
         # Shard-local source view: this run of bands plus the full-apron halo
         # (row_shift + 2*a_rows <= 2*full_apron). ~1-2 MB copy at 4K — cheap
         # next to the band DMA it replaces on the other shards.
@@ -739,8 +749,8 @@ def warp_frame_band(
     batched = ts.ndim == 1
     t_batch = int(ts.shape[0]) if batched else 1
     assert ts.ndim <= 1
-    assert not batched or (shard_index is None and not debug_prep_only), \
-        "batched (vector-t) warp: single-chip, non-debug only"
+    assert not (batched and debug_prep_only), \
+        "batched (vector-t) warp: non-debug only"
     fs = ts.reshape(t_batch, 1)
     lev = jnp.stack([jnp.asarray(black_level, F32),
                      jnp.asarray(white_level, F32)]).reshape(1, 2)
@@ -869,12 +879,28 @@ def warp_frame_band(
     if not batched:
         dispY, fscY, fmY, dispC, fscC, fmC = _tables(ts)
     else:
-        # Per-pair batched: one table build for ALL T outputs, folded t-major
-        # into the band axis (the kernel re-derives the source band via
-        # b % n_bands; see _band_call t_batch).
-        dispY, fscY, fmY, dispC, fscC, fmC = (
-            x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
-            for x in jax.vmap(_tables)(ts))
+        # Per-pair batched: one table build for ALL T outputs, folded into
+        # the band grid axis (the kernel re-derives the source band via
+        # b % n_bands_local; see _band_call t_batch). Single chip folds
+        # t-major; on the mesh the fold is SHARD-major — (T, S, nb_local)
+        # -> (S, T, nb_local) — so each shard's t_batch * nb_local table
+        # blocks are one contiguous dynamic_slice while the per-band source
+        # slice is unchanged.
+        def fold(x, nb, per_band):
+            if num_shards == 1:
+                return x.reshape((x.shape[0] * x.shape[1],) + x.shape[2:])
+            nbl = (nb // num_shards) * per_band
+            y = x.reshape((t_batch, num_shards, nbl) + x.shape[2:])
+            return jnp.swapaxes(y, 0, 1).reshape(
+                (num_shards * t_batch * nbl,) + x.shape[2:])
+
+        dY, fY, mY, dC, fC, mC = jax.vmap(_tables)(ts)
+        dispY = fold(dY, nb_y, 1)
+        fscY = fold(fY, nb_y, band_rows // 8)
+        fmY = fold(mY, nb_y, cpb)
+        dispC = fold(dC, nb_c, 1)
+        fscC = fold(fC, nb_c, band_c // 8)
+        fmC = fold(mC, nb_c, cpbc)
 
     # ---- Y plane ---------------------------------------------------------------
     # Pack layout (pre-pack match + repack fallback) is ALWAYS full-apron.
@@ -912,9 +938,11 @@ def warp_frame_band(
             n_bands_local=nb_y // num_shards, full_apron=a,
             t_batch=t_batch)
         if batched:
+            rows_loc = outy.shape[0] // t_batch
+            rows_y_out = dim_y if shard_index is None else rows_loc
             y = jax.lax.bitcast_convert_type(
                 outy, jnp.uint16 if slot16 else dtype).reshape(
-                t_batch, nb_y * band_rows, -1)[:, :dim_y, :dim_x].astype(dtype)
+                t_batch, rows_loc, -1)[:, :rows_y_out, :dim_x].astype(dtype)
         else:
             rows_y_out = dim_y if shard_index is None else None
             y = jax.lax.bitcast_convert_type(
@@ -958,10 +986,12 @@ def warp_frame_band(
         t_batch=t_batch)
     pair_dtype = jnp.uint32 if is_hdr else jnp.uint16
     if batched:
+        rows_loc_c = outc.shape[0] // t_batch
+        rows_c_out = h2 if shard_index is None else rows_loc_c
         pairs = jax.lax.bitcast_convert_type(outc, pair_dtype).reshape(
-            t_batch, nb_c * band_c, -1)[:, :h2, :dim_x // 2]
+            t_batch, rows_loc_c, -1)[:, :rows_c_out, :dim_x // 2]
         uv = jax.lax.bitcast_convert_type(pairs, dtype).reshape(
-            t_batch, h2, dim_x)
+            t_batch, rows_c_out, dim_x)
     else:
         pairs = jax.lax.bitcast_convert_type(outc, pair_dtype)
         rows_c_out = h2 if shard_index is None else None

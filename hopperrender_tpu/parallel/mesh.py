@@ -229,7 +229,9 @@ def warp_frame_band_sharded(
 
     Returns the shard-LOCAL (y, uv) band rows at padded width; the caller's
     out_spec concatenates them over the row axis and crops to (dim_y, dim_x)
-    outside the shard_map (crop_band_output)."""
+    outside the shard_map. blending_scalar may be a (T,) vector — the batched
+    per-pair warp (warp_band t_batch) composed with the sharding: outputs
+    gain a leading T axis and the row concat moves to axis 1."""
     shard = jax.lax.axis_index(axis_name)
     return warp_band.warp_frame_band(
         wctx12, wctx21, flow,
@@ -282,6 +284,7 @@ def make_multichip_step(
     warp_kernel: str = "auto",
     band_interpret: bool = False,
     band_apron_eff: int | None = None,
+    t_batch: int = 1,
 ):
     """Build the jitted multi-chip interpolation step.
 
@@ -292,6 +295,11 @@ def make_multichip_step(
     (flow_strip.predict_plan; None = all exact gathers). Returns
     (out_y, out_uv, new_blurred_flow, total_delta_raw, sig) — sig is the planned
     pyramid's validity vector so the host plan loop works on the mesh too.
+
+    t_batch > 1 (band route only): the step's blending scalar becomes a
+    (t_batch,) vector and out_y/out_uv gain a leading per-stream batch axis —
+    ONE sharded launch produces all of a source interval's outputs
+    (warp_band t_batch composed with the shard-major table fold).
     """
     n_sp = mesh.shape["sp"]
     use_strips = res_scalar >= 1
@@ -312,6 +320,8 @@ def make_multichip_step(
                          dim_y=frame_height, dim_x=frame_width, apron=apron))
     if warp_kernel == "band":
         assert use_warp_band, "band kernel unsupported for this geometry"
+    assert t_batch == 1 or use_warp_band, \
+        "t_batch > 1 requires the band warp route"
 
     def per_stream(f0y, f0uv, f1y, f1uv, f2y, f2uv, flow_prev, radius, dscalar,
                    nscalar, t, black, white):
@@ -379,9 +389,12 @@ def make_multichip_step(
     frame_spec = P("dp", None, None)
     flow_spec = P("dp", None, None, None)
     scalar_spec = P()
+    # Batched band outputs carry a (t_batch,) axis before the sharded rows.
+    out_plane_spec = (P("dp", None, "sp", None) if t_batch > 1
+                      else P("dp", "sp", None))
     out_specs = (
-        P("dp", "sp", None),   # out_y rows sharded
-        P("dp", "sp", None),   # out_uv rows sharded
+        out_plane_spec,        # out_y rows sharded
+        out_plane_spec,        # out_uv rows sharded
         flow_spec,             # blurred flow replicated within sp
         P("dp"),               # per-stream delta
         P("dp", None),         # plan validity sig (replicated within sp)
@@ -403,6 +416,9 @@ def make_multichip_step(
     # shard_map where the global view exists.
     def run(*args):
         out_y, out_uv, blurred, delta, sig = sharded(*args)
+        if t_batch > 1:
+            return (out_y[:, :, :frame_height],
+                    out_uv[:, :, :frame_height // 2], blurred, delta, sig)
         return (out_y[:, :frame_height], out_uv[:, :frame_height // 2],
                 blurred, delta, sig)
 

@@ -447,3 +447,88 @@ def test_multichip_step_routes_band_kernel(rng):
                   - np.asarray(ys).astype(np.int64)).max() <= 1
     assert np.abs(np.asarray(uvb).astype(np.int64)
                   - np.asarray(uvs).astype(np.int64)).max() <= 1
+
+
+@pytest.mark.heavy
+def test_multichip_band_warp_batched_matches_single(rng):
+    """Batched (T,) warp COMPOSED with mesh band sharding: the shard-major
+    table fold + per-shard contiguous slice must reproduce the single-device
+    batched outputs exactly (mode 2 carries the project-wide 1-LSB interpret
+    FMA tolerance, same as the non-batched mesh test above)."""
+    import jax.numpy as jnp
+    from hopperrender_tpu.ops import warp_band, warp_strip
+    from hopperrender_tpu.parallel import mesh as pmesh
+
+    h, w, rs, apron = 64, 128, 2, 32
+    low_h, low_w = h >> rs, w >> rs
+    sp = 2
+    f0 = make_frame(rng, h, w)
+    f1 = make_frame(rng, h, w)
+    fl = jnp.asarray(make_flow(rng, low_h, low_w, max_mag=25))
+    wc12 = warp_strip.build_warp_context(
+        jnp.asarray(f0[0]), jnp.asarray(f0[1]), apron=apron, is_hdr=False)
+    wc21 = warp_strip.build_warp_context(
+        jnp.asarray(f1[0]), jnp.asarray(f1[1]), apron=apron, is_hdr=False)
+    ts = jnp.asarray([0.25, 0.5, 0.75], jnp.float32)
+    black, white = jnp.float32(16.0), jnp.float32(235.0)
+    mesh = make_mesh(1, sp)
+    P = jax.sharding.PartitionSpec
+    ctx_spec = {k: P() for k in wc12}
+    for mode, tol in ((0, 0), (2, 1)):
+        kw = dict(res_scalar=rs, mode=mode, is_hdr=False, dim_y=h, dim_x=w,
+                  apron=apron)
+        want_y, want_uv = warp_band.warp_frame_band(
+            wc12, wc21, fl, ts, black, white, interpret=True, **kw)
+
+        def body(c12, c21, flow):
+            return pmesh.warp_frame_band_sharded(
+                c12, c21, flow, ts, black, white,
+                axis_name="sp", num_shards=sp, interpret=True, **kw)
+
+        sharded = jax.jit(jax.shard_map(
+            body, mesh=mesh, in_specs=(ctx_spec, ctx_spec, P()),
+            out_specs=(P(None, "sp", None), P(None, "sp", None)),
+            check_vma=False))
+        got_y, got_uv = sharded(wc12, wc21, fl)
+        assert got_y.shape[0] == ts.shape[0]
+        dy = np.abs(np.asarray(got_y)[:, :h, :w].astype(np.int64)
+                    - np.asarray(want_y).astype(np.int64)).max()
+        duv = np.abs(np.asarray(got_uv)[:, :h // 2, :w].astype(np.int64)
+                     - np.asarray(want_uv).astype(np.int64)).max()
+        assert dy <= tol and duv <= tol, (mode, dy, duv)
+
+
+@pytest.mark.heavy
+def test_multichip_step_batched_band(rng):
+    """make_multichip_step(t_batch=T): one sharded launch yields all T
+    outputs per stream, matching T single-scalar step calls exactly (same
+    executable family, so integer-exact — no FMA wiggle between them)."""
+    import jax.numpy as jnp
+    from hopperrender_tpu import config as hcfg
+
+    h, w, rs = 64, 128, 2
+    low_h, low_w = h >> rs, w >> rs
+    mesh = make_mesh(1, 2)
+    f0 = make_frame(rng, h, w)
+    f1 = make_frame(rng, h, w)
+    f2 = make_frame(rng, h, w)
+    flow_prev = make_flow(rng, low_h, low_w, max_mag=6)
+    args = tuple(jnp.asarray(np.stack([p])) for fr in (f0, f1, f2) for p in fr)
+    fp = jnp.asarray(np.stack([flow_prev]))
+    rest = (jnp.int32(5), jnp.int32(hcfg.DEFAULT_DELTA_SCALAR),
+            jnp.int32(hcfg.DEFAULT_NEIGHBOR_SCALAR))
+    lev = (jnp.float32(0.0), jnp.float32(255.0))
+    kw = dict(low_h=low_h, low_w=low_w, res_scalar=rs, is_hdr=False, mode=2,
+              warp_kernel="band", band_interpret=True)
+    ts = [0.25, 0.5, 0.75]
+    step_b = make_multichip_step(mesh, h, w, t_batch=len(ts), **kw)
+    step_1 = make_multichip_step(mesh, h, w, **kw)
+    by, buv, bfl, bd, _ = step_b(*args, fp, *rest,
+                                 jnp.asarray(ts, jnp.float32), *lev)
+    assert by.shape == (1, len(ts), h, w)
+    for i, t in enumerate(ts):
+        sy, suv, sfl, sd, _ = step_1(*args, fp, *rest, jnp.float32(t), *lev)
+        np.testing.assert_array_equal(np.asarray(by[0, i]), np.asarray(sy[0]))
+        np.testing.assert_array_equal(np.asarray(buv[0, i]),
+                                      np.asarray(suv[0]))
+    np.testing.assert_array_equal(np.asarray(bfl), np.asarray(sfl))
