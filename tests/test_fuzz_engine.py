@@ -111,3 +111,13 @@ def test_band_fuzz_apron_tier_chain_bounds(h, w, rs, is_hdr, apron, aw,
                                         chain_bounds=bounds, **kw)
         np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
         np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
+    # Batched (T,) dimension composed with the same tier statics: the batch
+    # containing t must reproduce the single-t outputs exactly.
+    ts = jnp.asarray([t * 0.5, t], jnp.float32)
+    by, buv = warp_band.warp_frame_band(p1, p2, flow, ts, args[2], args[3],
+                                        mode=2, interpret=True, apron_eff=aw,
+                                        chain_bounds=bounds, **kw)
+    want = warp_band.warp_frame_band(p1, p2, *args, mode=2, interpret=True,
+                                     apron_eff=aw, chain_bounds=bounds, **kw)
+    np.testing.assert_array_equal(np.asarray(by[1]), np.asarray(want[0]))
+    np.testing.assert_array_equal(np.asarray(buv[1]), np.asarray(want[1]))
