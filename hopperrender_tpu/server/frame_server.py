@@ -91,6 +91,9 @@ class ServerMetrics:
     # TPU-native extension (no ref out-param): the band warp's host-planned
     # apron tier in use (== bucket apron when tiering is inactive).
     warp_apron: int = 0
+    # TPU-native extension: per-pair batched warp dispatch active (all of a
+    # source interval's outputs in one launch).
+    batched_warp: bool = False
 
 
 class FrameServer:
@@ -337,4 +340,5 @@ class FrameServer:
             buffer_frames=self.settings.buffer_frames,
             search_radius=eng.search_radius if eng else config.MIN_SEARCH_RADIUS,
             warp_apron=eng.warp_apron_used if eng else 0,
+            batched_warp=self._batched_warp,
         )

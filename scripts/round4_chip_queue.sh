@@ -50,6 +50,6 @@ run bench_noise12  python bench.py --content noise --flow-content random --radiu
 
 # 5) served-path trajectory (VERDICT #5), then the batched-serving variant
 run served         python scripts/tpu_served_check.py
-run served_batched env HRT_BATCHED_WARP=1 python scripts/tpu_served_check.py
+run served_batched python scripts/tpu_served_check.py --batched-warp
 
 echo "QUEUE COMPLETE"; cat "$SUMMARY"

@@ -38,6 +38,10 @@ def main() -> None:
     ap.add_argument("--content", default="pan", choices=("pan", "noise"))
     ap.add_argument("--source-fps", type=float, default=24.0)
     ap.add_argument("--target-fps", type=float, default=60.0)
+    ap.add_argument("--batched-warp", action="store_true",
+                    help="dispatch each interval's outputs via "
+                         "warp_frames_batch (one launch; the dispatch RTT "
+                         "amortizes over the batch)")
     args = ap.parse_args()
     cfg = CONFIGS[args.config]
     h, w, is_hdr = cfg["h"], cfg["w"], cfg["is_hdr"]
@@ -122,10 +126,20 @@ def main() -> None:
         blend += outputs_per_source
         n_out = int(blend)
         blend -= n_out
-        for j in range(max(1, n_out)):
-            eng.warp_frames((j + 0.5) / max(1, n_out), 2)
-            eng.warp_time.current = max(0.0, eng.warp_time.current - rtt)
-            scaler.add_warp_duration(eng.warp_time.current)
+        if args.batched_warp and n_out > 1:
+            # One dispatch for the interval: the per-call RTT constant
+            # amortizes over the batch (warp_time records per-output shares).
+            eng.warp_frames_batch(
+                [(j + 0.5) / n_out for j in range(n_out)], 2)
+            eng.warp_time.current = max(
+                0.0, eng.warp_time.current - rtt / n_out)
+            for _ in range(n_out):
+                scaler.add_warp_duration(eng.warp_time.current)
+        else:
+            for j in range(max(1, n_out)):
+                eng.warp_frames((j + 0.5) / max(1, n_out), 2)
+                eng.warp_time.current = max(0.0, eng.warp_time.current - rtt)
+                scaler.add_warp_duration(eng.warp_time.current)
         new_r = scaler.adjust(eng.search_radius, eng.ofc_time.current,
                               frame_time)
         radii.append(eng.search_radius)

@@ -165,9 +165,11 @@ def test_metrics_fields(rng):
     assert m.search_radius >= 5
     assert m.ofc_calc_time > 0.0
     # All 23 GetCurrentSettings fields present (ref: iez.h:13-37), plus the
-    # TPU-native warp_apron extension (band warp's host-planned tier).
+    # TPU-native extensions (band warp's host-planned tier; batched warp
+    # dispatch state).
     import dataclasses as dc
-    assert len(dc.fields(m)) == 24
+    assert len(dc.fields(m)) == 25
+    assert m.batched_warp in (False, True)
     assert m.warp_apron >= 0
 
 
