@@ -54,9 +54,9 @@ def _band_rs_enabled(res_scalar: int) -> bool:
 def batched_warp_enabled() -> bool:
     """Per-pair batched warp gate (warp_frames_batch): one table build + one
     band-kernel launch for ALL of a source interval's outputs. Bit-exact vs
-    the per-output path (tests/test_warp_band.py batched suite) but the
-    t-folded Mosaic grid (b % n_bands source origins, dynamic SMEM fs index)
-    has not yet run on hardware, so it is opt-in until
+    the per-output path (tests/test_round4.py, tests/test_fuzz_engine.py)
+    but the t-folded Mosaic grid (b % n_bands source origins, dynamic SMEM
+    fs index) has not yet run on hardware, so it is opt-in until
     scripts/tpu_band_check.py batch passes on chip — then flip this default
     (ROADMAP round-4 chip queue)."""
     return os.environ.get("HRT_BATCHED_WARP") == "1"
@@ -654,8 +654,8 @@ class OpticalFlowEngine:
         per-output XLA prep (~1.8 ms of displacement/fast tables) and the
         dispatch round trip are paid ONCE per pair instead of per output —
         the lever that fits 5 warps/source into the 24->120 budget. Outputs
-        are bit-identical to T warp_frames calls (tests/test_warp_band.py,
-        tests/test_round4.py). Falls back to the per-output path whenever the
+        are bit-identical to T warp_frames calls (tests/test_round4.py,
+        tests/test_fuzz_engine.py). Falls back to the per-output path whenever the
         band kernel is not routed. Returns a list of (y, uv) device arrays.
         (ref analogue: the per-output WarpFrame loop, HopperRender.cpp:
         1031-1043/1191-1197 — collapsed host-side because every scalar of the

@@ -284,7 +284,12 @@ class FrameServer:
         warped: dict[int, tuple] = {}
         batch_per = 0.0
         warp_idx = [i for i, (_, _, interp) in enumerate(plans) if interp]
-        if self._batched_warp and len(warp_idx) > 1:
+        # Mirror the engine's own batch-engagement condition so the batch
+        # call never silently falls back to per-output warps (whose
+        # per-output durations the scaler accounting below would misread).
+        can_batch = (eng.use_warp_band
+                     and int(self.settings.frame_output) in (0, 1, 2))
+        if self._batched_warp and can_batch and len(warp_idx) > 1:
             pairs = eng.warp_frames_batch(
                 [plans[i][0].blending_scalar for i in warp_idx],
                 self.settings.frame_output)

@@ -107,6 +107,8 @@ def main() -> None:
           f"(subtracted per engine call)", flush=True)
 
     eng = OpticalFlowEngine(h, w, is_hdr=is_hdr)
+    assert not args.batched_warp or eng.use_warp_band, \
+        "--batched-warp needs the band route (else the RTT model is wrong)"
     scaler = AutoQualityScaler(enabled=True)
     frame_time = fps_to_frame_time(args.source_fps)
     outputs_per_source = args.target_fps / args.source_fps

@@ -195,8 +195,6 @@ def _run_server(batched, n=6, h=64, w=128):
     all_out = []
     eng_hooked = False
     for y, uv in frames:
-        if not eng_hooked and srv.engine is not None:
-            pass
         all_out.append(srv.push_frame(y, uv))
         if not eng_hooked and srv.engine is not None:
             # Force the band route on CPU (interpret mode) for every later
