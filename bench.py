@@ -97,6 +97,14 @@ def main() -> None:
     _init_backend_with_timeout(
         float(os.environ.get("HRT_BENCH_INIT_TIMEOUT", "180")))
 
+    # A relay that dies MID-run (the round-3 outage hit during a slope fetch)
+    # hangs the main thread inside an uninterruptible device->host transfer:
+    # no exception ever reaches the __main__ handler. A whole-run deadline
+    # emits the artifact and hard-exits instead of leaving the driver with a
+    # silent wedge. Generous default: a warm-cache full bench is minutes; a
+    # cold remote compile can be ~20 min/executable.
+    _arm_run_deadline(float(os.environ.get("HRT_BENCH_DEADLINE", "2700")))
+
     import jax
     import jax.numpy as jnp
 
@@ -378,6 +386,30 @@ def _init_backend_with_timeout(timeout_s: float) -> None:
             "(tunnel relay down/hung?)")
     if "error" in box:
         raise box["error"]
+
+
+def _arm_run_deadline(deadline_s: float) -> None:
+    """Whole-run watchdog: if the bench has not finished within deadline_s,
+    print the one-line JSON error artifact and hard-exit. os._exit is required
+    — the main thread may be wedged inside an uninterruptible native transfer
+    call (a tunnel relay that died mid-fetch), where no signal/exception can
+    reach it. Daemon thread: a normal completion simply exits past it."""
+    import threading
+
+    def fire():
+        time.sleep(deadline_s)
+        print(json.dumps({
+            "metric": "bench_failed",
+            "value": None,
+            "unit": None,
+            "vs_baseline": None,
+            "error": f"run deadline {deadline_s:.0f}s exceeded "
+                     "(device fetch hung — tunnel relay died mid-run?)",
+            "rc_cause": "timeout",
+        }), flush=True)
+        os._exit(3)
+
+    threading.Thread(target=fire, daemon=True).start()
 
 
 def _classify_failure(exc: BaseException) -> str:

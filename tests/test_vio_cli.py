@@ -130,3 +130,23 @@ def test_bench_emits_json_artifact_on_backend_failure():
     assert doc["metric"] == "bench_failed"
     assert doc["rc_cause"] in ("timeout", "backend-unavailable")
     assert doc["vs_baseline"] is None
+
+
+def test_bench_emits_json_artifact_on_midrun_hang():
+    """A relay that dies MID-run wedges the main thread inside an
+    uninterruptible device fetch (the round-3 outage mode) — the whole-run
+    deadline watchdog must still print the one-line artifact and hard-exit
+    rather than hang until the driver's kill. Forced with a tiny
+    HRT_BENCH_DEADLINE on a real (CPU) run that takes far longer."""
+    import os
+    env = dict(os.environ, HRT_BENCH_DEADLINE="3", JAX_PLATFORMS="cpu")
+    r = subprocess.run([sys.executable, "/root/repo/bench.py",
+                        "--config", "480p-sdr", "--json-only"],
+                       capture_output=True, text=True, timeout=120, env=env)
+    assert r.returncode == 3
+    lines = [ln for ln in r.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, r.stdout
+    doc = json.loads(lines[0])
+    assert doc["metric"] == "bench_failed"
+    assert doc["rc_cause"] == "timeout"
+    assert "deadline" in doc["error"]
