@@ -1,5 +1,9 @@
 """Real-TPU Mosaic compile + bit-exactness check for the warp band kernel."""
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

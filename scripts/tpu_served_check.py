@@ -18,8 +18,11 @@ Usage: PYTHONPATH=/root/repo python scripts/tpu_served_check.py [--config 4k-hdr
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
