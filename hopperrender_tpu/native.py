@@ -22,9 +22,23 @@ from hopperrender_tpu.utils.logging import get_logger
 
 log = get_logger("native")
 
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_REPO_ROOT = os.path.dirname(_PKG_DIR)
 _NATIVE_DIR = os.path.join(_REPO_ROOT, "native")
-_SO_PATH = os.path.join(_NATIVE_DIR, "libhrt_native.so")
+_SO_NAME = "libhrt_native.so"
+_SO_PATH = os.path.join(_NATIVE_DIR, _SO_NAME)
+
+
+def _find_so() -> str | None:
+    """Locate the native library: explicit override, the pip-installed copy
+    (setup.py bundles it into the package dir), then the repo-layout build
+    output. Returns None if none exists yet (the caller may then build)."""
+    for cand in (os.environ.get("HRT_NATIVE_LIB"),
+                 os.path.join(_PKG_DIR, _SO_NAME),
+                 _SO_PATH):
+        if cand and os.path.exists(cand):
+            return cand
+    return None
 
 _lib = None
 _lib_lock = threading.Lock()
@@ -46,13 +60,21 @@ def _load():
     with _lib_lock:
         if _lib is not None:
             return _lib
-        if not os.path.exists(_SO_PATH) and not _build():
-            _lib = False
-            return _lib
+        so = _find_so()
+        if so is None:
+            if not _build():
+                _lib = False
+                return _lib
+            so = _find_so()
+            if so is None:
+                log.warning("native build produced no %s; using NumPy "
+                            "fallbacks", _SO_NAME)
+                _lib = False
+                return _lib
         try:
-            lib = ctypes.CDLL(_SO_PATH)
+            lib = ctypes.CDLL(so)
         except OSError as e:
-            log.warning("failed to load %s (%s); using NumPy fallbacks", _SO_PATH, e)
+            log.warning("failed to load %s (%s); using NumPy fallbacks", so, e)
             _lib = False
             return _lib
         u8p = ctypes.POINTER(ctypes.c_uint8)

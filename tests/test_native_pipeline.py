@@ -168,3 +168,25 @@ def test_pipelined_server_wedged_device_detection(rng):
     finally:
         gate.set()
         status.close()
+
+
+def test_native_so_search_order(tmp_path, monkeypatch):
+    """Library resolution precedence (packaging contract, setup.py bundling):
+    HRT_NATIVE_LIB env override > pip-installed copy in the package dir >
+    repo-layout native/ build output > None (then lazy build)."""
+    env_so = tmp_path / "env" / "libhrt_native.so"
+    pkg_so = tmp_path / "pkg" / "libhrt_native.so"
+    repo_so = tmp_path / "repo" / "native" / "libhrt_native.so"
+    for p in (env_so, pkg_so, repo_so):
+        p.parent.mkdir(parents=True)
+        p.write_bytes(b"")
+    monkeypatch.setattr(native, "_PKG_DIR", str(pkg_so.parent))
+    monkeypatch.setattr(native, "_SO_PATH", str(repo_so))
+    monkeypatch.setenv("HRT_NATIVE_LIB", str(env_so))
+    assert native._find_so() == str(env_so)
+    monkeypatch.delenv("HRT_NATIVE_LIB")
+    assert native._find_so() == str(pkg_so)
+    pkg_so.unlink()
+    assert native._find_so() == str(repo_so)
+    repo_so.unlink()
+    assert native._find_so() is None
