@@ -27,8 +27,11 @@ log = get_logger("cli")
 
 
 def _add_io_args(p: argparse.ArgumentParser) -> None:
-    p.add_argument("input", help="input video (.y4m, .nv12/.p010/.yuv raw, or any container with ffmpeg)")
-    p.add_argument("output", help="output video (.y4m, .nv12/.p010/.yuv raw, or any container with ffmpeg)")
+    p.add_argument("input", help="input video (.y4m, .nv12/.p010/.yuv raw, any"
+                   " container with ffmpeg, or '-' for a stdin pipe: y4m, or"
+                   " raw when --width/--height are given)")
+    p.add_argument("output", help="output video (.y4m, .nv12/.p010/.yuv raw,"
+                   " any container with ffmpeg, or '-' for y4m on stdout)")
     p.add_argument("--width", type=int, help="frame width (raw input only)")
     p.add_argument("--height", type=int, help="frame height (raw input only)")
     p.add_argument("--fps", type=float, help="source fps (raw input; default 24)")
@@ -81,11 +84,13 @@ def cmd_interpolate(args: argparse.Namespace) -> int:
         m.warp_calc_time * 1e3, m.search_radius,
     )
     if args.stats:
+        # stdout carries the video stream when output is '-'; stats must not
+        # corrupt it.
         print(json.dumps({
             "frames_in": n_in, "frames_out": n_out, "wall_s": round(wall, 3),
             "out_fps": round(n_out / wall, 2) if wall else 0.0,
             "metrics": dataclasses.asdict(m),
-        }))
+        }), file=sys.stderr if args.output == "-" else sys.stdout)
     return 0
 
 

@@ -18,6 +18,7 @@ import os
 import re
 import shutil
 import subprocess
+import sys
 from fractions import Fraction
 
 import numpy as np
@@ -25,40 +26,69 @@ import numpy as np
 from hopperrender_tpu.vio import nv12
 
 
+def _open_in(path: str):
+    """'-' means stdin (binary); otherwise a regular file. Returns
+    (file, owned) — std streams are not owned and must not be closed."""
+    if path == "-":
+        return sys.stdin.buffer, False
+    return open(path, "rb"), True
+
+
+def _open_out(path: str):
+    if path == "-":
+        return sys.stdout.buffer, False
+    return open(path, "wb"), True
+
+
+def _read_exact(f, n: int) -> bytes:
+    """Read exactly n bytes, looping over short reads (pipes deliver data in
+    arbitrary chunks, unlike regular files). Returns fewer bytes only at EOF."""
+    chunks = []
+    remaining = n
+    while remaining:
+        buf = f.read(remaining)
+        if not buf:
+            break
+        chunks.append(buf)
+        remaining -= len(buf)
+    return b"".join(chunks)
+
+
 class RawReader:
-    """Headerless packed NV12/P010 frame stream."""
+    """Headerless packed NV12/P010 frame stream (file or '-' = stdin pipe)."""
 
     def __init__(self, path: str, width: int, height: int, *, is_hdr: bool = False,
                  fps: float = 24.0):
         self.width, self.height, self.is_hdr, self.fps = width, height, is_hdr, fps
         self._bytes_per_sample = 2 if is_hdr else 1
         self._frame_bytes = nv12.frame_size_samples(height, width) * self._bytes_per_sample
-        self._f = open(path, "rb")
+        self._f, self._own = _open_in(path)
 
     def __iter__(self):
         return self
 
     def __next__(self):
-        buf = self._f.read(self._frame_bytes)
+        buf = _read_exact(self._f, self._frame_bytes)
         if len(buf) < self._frame_bytes:
-            self._f.close()
+            self.close()
             raise StopIteration
         return nv12.unpack(buf, self.height, self.width, is_hdr=self.is_hdr)
 
     def close(self):
-        self._f.close()
+        if self._own:
+            self._f.close()
 
 
 class RawWriter:
     def __init__(self, path: str, *, stride: int | None = None):
-        self._f = open(path, "wb")
+        self._f, self._own = _open_out(path)
         self._stride = stride
 
     def write(self, y: np.ndarray, uv: np.ndarray) -> None:
         self._f.write(nv12.pack(y, uv, self._stride).tobytes())
 
     def close(self):
-        self._f.close()
+        self._f.close() if self._own else self._f.flush()
 
 
 def _uv_interleaved_to_planar(uv: np.ndarray):
@@ -79,7 +109,7 @@ class Y4MWriter:
     def __init__(self, path: str, width: int, height: int, fps: float, *,
                  is_hdr: bool = False):
         self.width, self.height, self.is_hdr = width, height, is_hdr
-        self._f = open(path, "wb")
+        self._f, self._own = _open_out(path)
         rate = Fraction(fps).limit_denominator(1001 * 120)
         cs = "C420p10" if is_hdr else "C420mpeg2"
         self._f.write(
@@ -90,20 +120,23 @@ class Y4MWriter:
     def write(self, y: np.ndarray, uv: np.ndarray) -> None:
         u, v = _uv_interleaved_to_planar(uv)
         self._f.write(b"FRAME\n")
+        # .write(tobytes()) rather than ndarray.tofile: tofile requires a real
+        # seekable file and fails on pipes.
         if self.is_hdr:
             for plane in (y, u, v):
-                (plane.astype(np.uint16) >> 6).astype("<u2").tofile(self._f)
+                self._f.write((plane.astype(np.uint16) >> 6)
+                              .astype("<u2").tobytes())
         else:
             for plane in (y, u, v):
-                plane.astype(np.uint8).tofile(self._f)
+                self._f.write(plane.astype(np.uint8).tobytes())
 
     def close(self):
-        self._f.close()
+        self._f.close() if self._own else self._f.flush()
 
 
 class Y4MReader:
     def __init__(self, path: str):
-        self._f = open(path, "rb")
+        self._f, self._own = _open_in(path)
         header = self._f.readline().decode()
         if not header.startswith("YUV4MPEG2"):
             raise ValueError("not a YUV4MPEG2 file")
@@ -126,26 +159,32 @@ class Y4MReader:
     def __next__(self):
         marker = self._f.readline()
         if not marker:
-            self._f.close()
+            self.close()
             raise StopIteration
         if not marker.startswith(b"FRAME"):
             raise ValueError("bad y4m frame marker")
         w, h = self.width, self.height
         n_y, n_c = w * h, (w // 2) * (h // 2)
+        bps = 2 if self.is_hdr else 1
+        raw = _read_exact(self._f, (n_y + 2 * n_c) * bps)
+        if len(raw) < (n_y + 2 * n_c) * bps:
+            self.close()
+            raise StopIteration
         if self.is_hdr:
-            data = np.fromfile(self._f, dtype="<u2", count=n_y + 2 * n_c)
+            data = np.frombuffer(raw, dtype="<u2")
             y = (data[:n_y] << 6).astype(np.uint16).reshape(h, w)  # back to MSB-aligned
             u = (data[n_y:n_y + n_c] << 6).astype(np.uint16).reshape(h // 2, w // 2)
             v = (data[n_y + n_c:] << 6).astype(np.uint16).reshape(h // 2, w // 2)
         else:
-            data = np.fromfile(self._f, dtype=np.uint8, count=n_y + 2 * n_c)
+            data = np.frombuffer(raw, dtype=np.uint8)
             y = data[:n_y].reshape(h, w)
             u = data[n_y:n_y + n_c].reshape(h // 2, w // 2)
             v = data[n_y + n_c:].reshape(h // 2, w // 2)
         return y.copy(), _uv_planar_to_interleaved(u, v)
 
     def close(self):
-        self._f.close()
+        if self._own:
+            self._f.close()
 
 
 # --- ffmpeg gateway (optional) ----------------------------------------------
@@ -238,7 +277,13 @@ class FfmpegWriter:
 
 def open_reader(path: str, *, width: int | None = None, height: int | None = None,
                 is_hdr: bool = False, fps: float | None = None):
-    """Dispatch by extension: .y4m, raw (.nv12/.p010/.yuv/.raw), else ffmpeg."""
+    """Dispatch by extension: .y4m, raw (.nv12/.p010/.yuv/.raw), else ffmpeg.
+    '-' reads stdin: raw when --width/--height are given, else y4m (the
+    self-describing pipe format — e.g. `ffmpeg ... -f yuv4mpegpipe - | ...`)."""
+    if path == "-":
+        if width is not None and height is not None:
+            return RawReader(path, width, height, is_hdr=is_hdr, fps=fps or 24.0)
+        return Y4MReader(path)
     ext = os.path.splitext(path)[1].lower()
     if ext == ".y4m":
         return Y4MReader(path)
@@ -251,6 +296,9 @@ def open_reader(path: str, *, width: int | None = None, height: int | None = Non
 
 
 def open_writer(path: str, width: int, height: int, fps: float, *, is_hdr: bool = False):
+    """'-' writes y4m to stdout (self-describing, mpv/ffmpeg-consumable)."""
+    if path == "-":
+        return Y4MWriter(path, width, height, fps, is_hdr=is_hdr)
     ext = os.path.splitext(path)[1].lower()
     if ext == ".y4m":
         return Y4MWriter(path, width, height, fps, is_hdr=is_hdr)

@@ -150,3 +150,58 @@ def test_bench_emits_json_artifact_on_midrun_hang():
     assert doc["metric"] == "bench_failed"
     assert doc["rc_cause"] == "timeout"
     assert "deadline" in doc["error"]
+
+
+@pytest.mark.parametrize("is_hdr", [False, True])
+def test_pipe_io_stdin_stdout(tmp_path, rng, is_hdr):
+    """'-' IO: y4m on stdin -> y4m on stdout must be byte-identical to the
+    same interpolation through files (the UNIX-pipe analogue of the
+    reference's live filter-graph placement; ref: HopperRender.cpp:38-61)."""
+    import os
+    h, w = 16, 32
+    frames = [nv12.synthetic_frame(rng, h, w, is_hdr=is_hdr, motion_x=i)
+              for i in range(6)]
+    src = tmp_path / "in.y4m"
+    wr = video.Y4MWriter(str(src), w, h, 24.0, is_hdr=is_hdr)
+    for y, uv in frames:
+        wr.write(y, uv)
+    wr.close()
+    dst = tmp_path / "out.y4m"
+    r = _run_cli("interpolate", str(src), str(dst), "--target-fps", "60")
+    assert r.returncode == 0, r.stderr
+
+    with open(src, "rb") as fin:
+        rp = subprocess.run(
+            [sys.executable, "-m", "hopperrender_tpu", "interpolate", "-", "-",
+             "--target-fps", "60", "--stats"],
+            stdin=fin, capture_output=True, timeout=600,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+    assert rp.returncode == 0, rp.stderr.decode()
+    assert rp.stdout == dst.read_bytes()
+    # --stats must go to stderr when stdout carries the stream.
+    stats = json.loads(rp.stderr.decode().strip().splitlines()[-1])
+    assert stats["frames_in"] == 6
+
+
+def test_pipe_io_raw_stdin(tmp_path, rng):
+    """'-' with --width/--height reads a headerless raw stream from stdin."""
+    import os
+    h, w = 16, 32
+    frames = [nv12.synthetic_frame(rng, h, w, motion_x=i) for i in range(6)]
+    src = tmp_path / "in.nv12"
+    _write_raw_stream(src, frames)
+    dst = tmp_path / "out.y4m"
+    r = _run_cli("interpolate", str(src), str(dst), "--width", "32",
+                 "--height", "16", "--fps", "24", "--target-fps", "60")
+    assert r.returncode == 0, r.stderr
+    with open(src, "rb") as fin:
+        rp = subprocess.run(
+            [sys.executable, "-m", "hopperrender_tpu", "interpolate", "-", "-",
+             "--width", "32", "--height", "16", "--fps", "24",
+             "--target-fps", "60"],
+            stdin=fin, capture_output=True, timeout=600,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+    assert rp.returncode == 0, rp.stderr.decode()
+    assert rp.stdout == dst.read_bytes()
