@@ -4,6 +4,13 @@ Commands:
   interpolate  — offline file mode: read NV12/P010/Y4M (or any container via
                  ffmpeg when present), interpolate to the target fps, write the
                  result. The offline analogue of playing a file through the filter.
+  serve        — live streaming mode: the threaded pipeline (decode thread ->
+                 native frame rings -> engine thread -> output ring) with an
+                 optional live HTTP status/control endpoint — the CLI equivalent
+                 of the reference sitting in a running playback graph with its
+                 property page open (ref: HopperRender.cpp:529-541,1466-1607).
+                 Pipe-friendly: `ffmpeg ... -f yuv4mpegpipe - | hopperrender
+                 serve - - --status-port 8080 | mpv -`.
   probe        — report stream parameters and the per-frame device latency budget.
   settings     — show / set / reset persisted settings (registry equivalent,
                  ref: HopperRender.cpp:1466-1607).
@@ -38,6 +45,18 @@ def _add_io_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--hdr", action="store_true", help="10-bit P010 input")
 
 
+def _build_settings(args: argparse.Namespace) -> Settings:
+    settings = Settings.load(args.settings) if args.settings else Settings()
+    return dataclasses.replace(
+        settings,
+        target_fps=args.target_fps,
+        use_display_fps=False,
+        frame_output=args.mode,
+        scene_change_threshold=args.scene_threshold
+        if args.scene_threshold is not None else settings.scene_change_threshold,
+    ).validate()
+
+
 def cmd_interpolate(args: argparse.Namespace) -> int:
     from hopperrender_tpu.server.frame_server import FrameServer
     from hopperrender_tpu.vio import video
@@ -46,16 +65,7 @@ def cmd_interpolate(args: argparse.Namespace) -> int:
                                is_hdr=args.hdr, fps=args.fps)
     is_hdr = getattr(reader, "is_hdr", args.hdr)
     source_fps = args.fps or getattr(reader, "fps", 24.0)
-
-    settings = Settings.load(args.settings) if args.settings else Settings()
-    settings = dataclasses.replace(
-        settings,
-        target_fps=args.target_fps,
-        use_display_fps=False,
-        frame_output=args.mode,
-        scene_change_threshold=args.scene_threshold
-        if args.scene_threshold is not None else settings.scene_change_threshold,
-    ).validate()
+    settings = _build_settings(args)
 
     server = FrameServer(reader.width, reader.height, source_fps=source_fps,
                          is_hdr=is_hdr, settings=settings)
@@ -89,6 +99,89 @@ def cmd_interpolate(args: argparse.Namespace) -> int:
         print(json.dumps({
             "frames_in": n_in, "frames_out": n_out, "wall_s": round(wall, 3),
             "out_fps": round(n_out / wall, 2) if wall else 0.0,
+            "metrics": dataclasses.asdict(m),
+        }), file=sys.stderr if args.output == "-" else sys.stdout)
+    return 0
+
+
+def cmd_serve(args: argparse.Namespace) -> int:
+    """Live streaming mode: decode, engine, and output run on separate threads
+    over the native frame rings; an optional HTTP endpoint exposes live metrics
+    (GET /metrics, /settings, /healthz) and live control (POST /settings) while
+    the stream runs — the reference's property page + TooSlow watchdog
+    equivalents (ref: HopperRender.cpp:1438-1463,1466-1607)."""
+    import threading
+
+    from hopperrender_tpu.server.frame_server import FrameServer
+    from hopperrender_tpu.server.pipeline import PipelinedServer
+    from hopperrender_tpu.vio import video
+
+    reader = video.open_reader(args.input, width=args.width, height=args.height,
+                               is_hdr=args.hdr, fps=args.fps)
+    is_hdr = getattr(reader, "is_hdr", args.hdr)
+    source_fps = args.fps or getattr(reader, "fps", 24.0)
+    settings = _build_settings(args)
+
+    server = FrameServer(reader.width, reader.height, source_fps=source_fps,
+                         is_hdr=is_hdr, settings=settings)
+    writer = video.open_writer(args.output, reader.width, reader.height,
+                               args.target_fps, is_hdr=is_hdr)
+    pipe = PipelinedServer(server)
+    status = None
+    if args.status_port is not None:
+        from hopperrender_tpu.server.status_http import StatusServer
+
+        status = StatusServer(server, port=args.status_port, pipeline=pipe)
+        print(f"status endpoint: http://{status.host}:{status.port}/metrics",
+              file=sys.stderr, flush=True)
+
+    feed_err: list[BaseException] = []
+
+    def feeder() -> None:
+        try:
+            n = 0
+            for y, uv in reader:
+                pipe.feed(y, uv)
+                n += 1
+                if args.max_frames and n >= args.max_frames:
+                    break
+        except BaseException as e:  # noqa: BLE001 - re-raised on the main thread
+            feed_err.append(e)
+        finally:
+            pipe.close()
+
+    th = threading.Thread(target=feeder, name="hrt-feed", daemon=True)
+    n_out = 0
+    t0 = time.perf_counter()
+    th.start()
+    try:
+        for out in pipe.outputs():
+            writer.write(out.y, out.uv)
+            n_out += 1
+    finally:
+        writer.close()
+        th.join(timeout=30)
+        pipe.join()
+        if status is not None:
+            status.close()
+    if feed_err:
+        raise feed_err[0]
+    wall = time.perf_counter() - t0
+    m = server.metrics()
+    log.info(
+        "served %d source -> %d output frames in %.2fs (%.1f out fps); "
+        "flow %.2f ms, warp %.2f ms, radius %d; input ring high water %d",
+        pipe.stats.frames_in, n_out, wall, n_out / wall if wall else 0.0,
+        m.ofc_calc_time * 1e3, m.warp_calc_time * 1e3, m.search_radius,
+        pipe.stats.input_ring_high_water,
+    )
+    if args.stats:
+        print(json.dumps({
+            "frames_in": pipe.stats.frames_in, "frames_out": n_out,
+            "wall_s": round(wall, 3),
+            "out_fps": round(n_out / wall, 2) if wall else 0.0,
+            "renegotiations": pipe.stats.renegotiations,
+            "input_ring_high_water": pipe.stats.input_ring_high_water,
             "metrics": dataclasses.asdict(m),
         }), file=sys.stderr if args.output == "-" else sys.stdout)
     return 0
@@ -158,6 +251,22 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--max-frames", type=int, default=0)
     p.add_argument("--stats", action="store_true", help="print a JSON stats line")
     p.set_defaults(func=cmd_interpolate)
+
+    p = sub.add_parser("serve", help="live streaming mode: threaded pipeline "
+                       "+ optional HTTP status/control endpoint")
+    _add_io_args(p)
+    p.add_argument("--target-fps", type=float, default=60.0)
+    p.add_argument("--mode", type=int, default=2,
+                   help="0 warp12, 1 warp21, 2 blend, 3 HSV flow, 4 grey flow, "
+                        "5 side-by-side, 6 scaled side-by-side")
+    p.add_argument("--scene-threshold", type=int, default=None)
+    p.add_argument("--settings", help="settings JSON (default: none)")
+    p.add_argument("--max-frames", type=int, default=0)
+    p.add_argument("--stats", action="store_true", help="print a JSON stats line")
+    p.add_argument("--status-port", type=int, default=None,
+                   help="start the live HTTP status/control endpoint on this "
+                        "port (0 = pick a free port; URL printed to stderr)")
+    p.set_defaults(func=cmd_serve)
 
     p = sub.add_parser("probe", help="report stream parameters")
     p.add_argument("input")

@@ -205,3 +205,27 @@ def test_pipe_io_raw_stdin(tmp_path, rng):
         )
     assert rp.returncode == 0, rp.stderr.decode()
     assert rp.stdout == dst.read_bytes()
+
+
+def test_cli_serve_matches_interpolate(tmp_path, rng):
+    """`serve` (threaded pipeline + rings) must produce byte-identical output
+    to `interpolate` (synchronous loop) for the same stream, and its stats
+    must report the pipeline counters."""
+    import os
+    h, w = 16, 32
+    frames = [nv12.synthetic_frame(rng, h, w, motion_x=i) for i in range(6)]
+    src = tmp_path / "in.nv12"
+    _write_raw_stream(src, frames)
+    a, b = tmp_path / "a.y4m", tmp_path / "b.y4m"
+    geo = ["--width", "32", "--height", "16", "--fps", "24",
+           "--target-fps", "60"]
+    r1 = _run_cli("interpolate", str(src), str(a), *geo)
+    assert r1.returncode == 0, r1.stderr
+    r2 = _run_cli("serve", str(src), str(b), *geo, "--stats",
+                  "--status-port", "0")
+    assert r2.returncode == 0, r2.stderr
+    assert a.read_bytes() == b.read_bytes()
+    stats = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert stats["frames_in"] == 6 and stats["frames_out"] >= 10
+    assert "input_ring_high_water" in stats
+    assert "status endpoint" in r2.stderr
