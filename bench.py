@@ -55,6 +55,11 @@ import time
 
 import numpy as np
 
+# Progress lines must reach a redirected log in real time (queue scripts tail
+# them to tell "compiling" from "hung tunnel"); stdout is block-buffered when
+# piped, so force line buffering for the whole run.
+sys.stdout.reconfigure(line_buffering=True)
+
 CONFIGS = {
     "4k-hdr": dict(w=3840, h=2160, is_hdr=True, source_fps=24.0, target_fps=60.0),
     "4k-sdr": dict(w=3840, h=2160, is_hdr=False, source_fps=24.0, target_fps=60.0),
@@ -81,6 +86,12 @@ def main() -> None:
                     help="override the config's output rate (e.g. 120 for the"
                          " BASELINE 4K HDR 24->120 config); the budget stays"
                          " 1/source_fps")
+    ap.add_argument("--apron", default="auto",
+                    choices=("auto", "full", "32", "64", "128", "256"),
+                    help="band-kernel apron tier A/B: auto = host-planned from"
+                         " the content's certified flow bound (the served"
+                         " behavior); full = the bucket's full apron (the"
+                         " round-3 measured layout); N = force tier N")
     ap.add_argument("--batched-warp", action="store_true",
                     help="account warps per PAIR via warp_frames_batch (one"
                          " vmapped table build + one band launch for all of a"
@@ -191,6 +202,13 @@ def main() -> None:
             # cover the band DMA windows. On pan content both pick the same
             # 32-px tier the served engine uses.
             bound_chain = int(np.abs(flow_np).max()) + args.k2
+            if args.apron == "full":
+                bound_chain = None   # pick_apron(None) -> full bucket apron
+            elif args.apron != "auto":
+                # Numeric tier A/B: opt in to tier selection (the engine
+                # default is full apron — chip-measured faster, round 4).
+                os.environ["HRT_APRON_TIERS"] = "1"
+                bound_chain = int(args.apron)  # smallest tier >= bound = N
             engine._flow_bounds = [bound_chain, bound_chain]
             if not args.json_only:
                 print(f"  radius {radius} settled tier plan: "

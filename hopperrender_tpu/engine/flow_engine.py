@@ -539,7 +539,17 @@ class OpticalFlowEngine:
         EVERY subtile through the select-chain fast path on scattered flow up
         to |flow| <= 12 (the adversarial regime that otherwise rides per-cell
         chains); (16,16) stays the converged-content default."""
-        self.warp_apron_used = warp_band.pick_apron(flow_bound, apron)
+        # Chip A/B (round 4, 4K HDR r16 pan, slope method): tier 32 prices at
+        # 17.0 ms/output vs 9.9 ms at the full bucket apron — the shrunken
+        # per-band DMA windows LOSE to the full-apron layout's large
+        # sequential copies on the real memory system, the opposite of the
+        # geometric-traffic prediction. Tiers stay available (bit-exact, see
+        # tests/test_warp_band.py) behind HRT_APRON_TIERS=1 for re-evaluation
+        # on future backends; the default serves the measured-faster layout.
+        if os.environ.get("HRT_APRON_TIERS") == "1":
+            self.warp_apron_used = warp_band.pick_apron(flow_bound, apron)
+        else:
+            self.warp_apron_used = apron
         cb = (16, 16)
         if flow_bound is not None and 16 < 2 * flow_bound + 8 <= 32:
             cb = (32, 32)

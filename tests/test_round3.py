@@ -44,13 +44,17 @@ def test_hbm_persistent_terms_equal_live_ledger(h, w, is_hdr):
     assert 0 < flow_engine._working_bytes(h, w, is_hdr=is_hdr) < est
 
 
-def test_engine_warp_apron_tier_streamed():
+def test_engine_warp_apron_tier_streamed(monkeypatch):
     """Served-path apron tier: on converged pan content the planned pyramid's
     sig carries the blurred flow's maxabs, and the next warp runs the band
     kernel at the smallest covering apron tier — bit-identical to the
-    full-apron kernel (ref contract: warpFrameKernelSDR.h:116-184; the DMA
-    cut is the round-3 headline lever, PERF.md)."""
+    full-apron kernel (ref contract: warpFrameKernelSDR.h:116-184). Tier
+    selection is opt-in since the round-4 chip A/B measured the full-apron
+    layout FASTER (flow_engine._band_plan); this pins the opt-in path's
+    planning + bit-exactness."""
     from hopperrender_tpu.ops import warp_band
+
+    monkeypatch.setenv("HRT_APRON_TIERS", "1")
 
     h, w = 64, 128
     rng = np.random.default_rng(3)
