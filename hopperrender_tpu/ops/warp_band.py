@@ -193,7 +193,7 @@ def _merge_cells_kernel(
     is_uv: bool, n_par: int, cpt: int, nk: int, xdiv8: int, sdiv8: int,
     res_v: int = RES_V, res_h: int = RES_H,
     row_shift: int = 0, lane_shift: int = 0, slot16: bool = False,
-    nb_mod: int | None = None,
+    batched: bool = False,
 ):
     """Kernel factory. Refs:
       disp_ref  SMEM (1, 8, cpb*cpt*nk/8) int32, flattened per-cell records of
@@ -212,12 +212,15 @@ def _merge_cells_kernel(
       band12/21 VMEM (n_par, band_rows + 2*a_rows + RV, c32_alloc) u32 scratch
       sem       DMA  (2, n_par)
 
-    nb_mod: per-pair BATCHED grid (warp_frame_band with a (T,) blending-scalar
-    vector). The leading grid axis runs t_batch * n_bands steps with the per-t
-    tables stacked along the band axis (so every block-indexed ref needs no
-    change); only the source planes are shared across t, so the band DMA
-    origin uses (band % nb_mod), and fs_ref is (t_batch, 1) indexed by
-    (band // nb_mod).
+    batched: per-pair BATCHED grid (warp_frame_band with a (T,) blending-scalar
+    vector). The grid gains a t_batch axis as its INNERMOST dimension —
+    (n_bands, n_tiles, t_batch) — so for each (band, tile) window the t_batch
+    outputs run back-to-back against the SAME band scratch: the band DMA is
+    issued only at t==0 (VMEM scratch persists across sequential grid steps)
+    and the dominant HBM traffic (the band window pull) amortizes over all T
+    outputs of the pair. The per-t tables stay stacked t-major along the
+    block axis (the caller's BlockSpec index maps select block
+    t * n_bands + band); fs_ref is (t_batch, 1) indexed by the t grid axis.
     """
     rows = band_rows + 2 * a_rows
     c32_dma = _round_up(c32, 128)     # lane-dim DMA slices must be 128-aligned
@@ -240,35 +243,45 @@ def _merge_cells_kernel(
         row_i = jax.lax.broadcasted_iota(jnp.int32, (8, 128), 0)
         b = pl.program_id(0)
         t = pl.program_id(1)
-        # Batched grid: b runs over t_batch * n_bands band-stacked table
-        # blocks; the shared sources are indexed by the band within the pair.
-        bsrc = b if nb_mod is None else b % nb_mod
-        copies = []
-        for si, (src, band) in enumerate(((src12_ref, band12),
-                                          (src21_ref, band21))):
-            if (mode == 0 and si == 1) or (mode == 1 and si == 0):
-                continue
-            for q in range(n_par):
-                # Source planes are row-padded so every band window is in
-                # bounds at this aligned static-stride offset (no last-band
-                # shift — Mosaic requires provably 8-aligned row offsets).
-                # row_shift/lane_shift (static, 8-/128-aligned) retarget the
-                # window into a plane packed at a LARGER apron than this
-                # kernel's effective one (the host-planned apron tier): the
-                # DMA pulls only the rows/lanes the certified displacement
-                # bound can reach.
-                c = pltpu.make_async_copy(
-                    src.at[q, pl.ds(bsrc * band_rows + row_shift, rows),
-                           pl.ds(t * tile_w32 + lane_shift, c32_dma)],
-                    band.at[q, pl.ds(0, rows), pl.ds(0, c32_dma)],
-                    sem.at[si, q],
-                )
-                c.start()
-                copies.append(c)
-        for c in copies:
-            c.wait()
+        tt = pl.program_id(2) if batched else None
 
-        fs12 = fs_ref[0, 0] if nb_mod is None else fs_ref[b // nb_mod, 0]
+        def issue_band_dmas():
+            copies = []
+            for si, (src, band) in enumerate(((src12_ref, band12),
+                                              (src21_ref, band21))):
+                if (mode == 0 and si == 1) or (mode == 1 and si == 0):
+                    continue
+                for q in range(n_par):
+                    # Source planes are row-padded so every band window is in
+                    # bounds at this aligned static-stride offset (no last-band
+                    # shift — Mosaic requires provably 8-aligned row offsets).
+                    # row_shift/lane_shift (static, 8-/128-aligned) retarget the
+                    # window into a plane packed at a LARGER apron than this
+                    # kernel's effective one (the host-planned apron tier): the
+                    # DMA pulls only the rows/lanes the certified displacement
+                    # bound can reach.
+                    c = pltpu.make_async_copy(
+                        src.at[q, pl.ds(b * band_rows + row_shift, rows),
+                               pl.ds(t * tile_w32 + lane_shift, c32_dma)],
+                        band.at[q, pl.ds(0, rows), pl.ds(0, c32_dma)],
+                        sem.at[si, q],
+                    )
+                    c.start()
+                    copies.append(c)
+            for c in copies:
+                c.wait()
+
+        if batched:
+            # t is the INNERMOST grid axis: the t_batch outputs of this
+            # (band, tile) window run on consecutive sequential grid steps, so
+            # the window is DMAed once and the scratch reused — the band pull
+            # (the kernel's dominant HBM traffic) costs once per PAIR, not
+            # once per output.
+            pl.when(tt == 0)(issue_band_dmas)
+        else:
+            issue_band_dmas()
+
+        fs12 = fs_ref[0, 0] if not batched else fs_ref[tt, 0]
         fs21 = (F32(1.0) - fs12).astype(F32)
 
         def fetch_cell(band, r0, p, q_par, target_lane):
@@ -471,9 +484,11 @@ def _band_call(disp, fscal, fs, lev, fmap, src12, src21, *, cell,
     active); the source row slice must span it.
 
     t_batch: per-pair batched outputs. The per-t tables (disp/fscal/fmap) are
-    stacked along the band axis, fs is (t_batch, 1), and the grid's leading
-    axis runs t_batch * n_bands steps; the kernel re-derives the source band
-    as (b % n_bands). Output rows gain a leading t_batch factor. COMPOSES
+    stacked t-major along the band axis, fs is (t_batch, 1), and the grid
+    gains t_batch as its INNERMOST axis — each (band, tile) window's T
+    outputs run consecutively against ONE band-DMA scratch fill (the kernel
+    issues the window pull only at t==0), so the dominant HBM traffic costs
+    once per pair. Output rows gain a leading t_batch factor. COMPOSES
     with mesh band sharding: the caller folds the tables SHARD-major
     ((S, T, nb_local) flattened), so each shard's grid run is one contiguous
     dynamic_slice of t_batch * n_bands_local table blocks (offset
@@ -486,14 +501,14 @@ def _band_call(disp, fscal, fs, lev, fmap, src12, src21, *, cell,
     n_groups = (band_rows // 8) * (tile_w32 // 128)
     ns = _round_up(n_groups * 2, 8)
     sdiv8 = ns // 8
-    nb_kernel = n_bands if band_start is None else n_bands_local
+    batched = t_batch > 1
     kern = _merge_cells_kernel(
         cell=cell, per32=per32, cb=cb, band_rows=band_rows, a_rows=a_rows,
         c32=c32, c32_alloc=c32_alloc, tile_w32=tile_w32, mode=mode,
         is_hdr=is_hdr, is_uv=is_uv, n_par=n_par, cpt=cpt, nk=k, xdiv8=xdiv8,
         sdiv8=sdiv8, res_v=res_v, res_h=res_h,
         row_shift=row_shift, lane_shift=lane_shift, slot16=slot16,
-        nb_mod=nb_kernel if t_batch > 1 else None)
+        batched=batched)
     disp = disp.reshape(disp.shape[0], disp.shape[1] * 8, xdiv8)
     # fscal: (n_gr_total, n_tiles, n_sub, 2) -> (nb, nt*8, sdiv8)
     n_sub = tile_w32 // 128
@@ -531,22 +546,33 @@ def _band_call(disp, fscal, fs, lev, fmap, src12, src21, *, cell,
         src21 = jax.lax.dynamic_slice_in_dim(
             src21, start * band_rows, src_rows, 1)
         n_bands = n_bands_local
+    # Batched: t_batch runs as the INNERMOST grid axis so every (band, tile)
+    # window's T outputs execute back-to-back against one scratch fill (see
+    # _merge_cells_kernel). The per-t table blocks stay stacked t-major along
+    # the leading array axis; only the index maps change.
+    nbk = n_bands
+    if batched:
+        grid = (n_bands, n_tiles, t_batch)
+        ix_smem = lambda b, t, tt: (tt * nbk + b, t, 0)
+        ix_vmem = lambda b, t, tt: (tt * nbk + b, t)
+    else:
+        grid = (n_bands, n_tiles)
+        ix_smem = lambda b, t: (b, t, 0)
+        ix_vmem = lambda b, t: (b, t)
     return pl.pallas_call(
         kern,
-        grid=(t_batch * n_bands, n_tiles),
+        grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 8, xdiv8), lambda b, t: (b, t, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8, sdiv8), lambda b, t: (b, t, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, xdiv8), ix_smem, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 8, sdiv8), ix_smem, memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((band_rows, tile_w32), lambda b, t: (b, t),
+            pl.BlockSpec((band_rows, tile_w32), ix_vmem,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((band_rows, tile_w32), lambda b, t: (b, t),
+        out_specs=pl.BlockSpec((band_rows, tile_w32), ix_vmem,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((t_batch * n_bands * band_rows,
                                         n_tiles * tile_w32), U32),
