@@ -102,6 +102,11 @@ class Settings:
     # ref: config.h:6).
     auto_quality: bool = AUTO_SEARCH_RADIUS_ADJUST
     num_iterations: int = NUM_ITERATIONS
+    # Per-pair batched warp dispatch (one warp_frames_batch launch per source
+    # interval). Chip-proven bit-exact round 5; None = follow the engine
+    # default (flow_engine.batched_warp_enabled, env-overridable), True/False
+    # pins it — the honest settings surface for the flipped default.
+    batched_warp: bool | None = None
 
     def validate(self) -> "Settings":
         """Range checks matching the property page (ref: HopperRenderSettings.cpp:370-378)."""

@@ -44,22 +44,25 @@ from hopperrender_tpu.ops import warp_viz
 def _band_rs_enabled(res_scalar: int) -> bool:
     """Band-kernel routing gate per res_scalar. rs >= 2 is chip-proven; the
     rs=1 layout (480p class, 2-px cells via the 16-bit slot packing) is
-    bit-exact in interpret mode (tests/test_warp_band.py) but its Mosaic
-    lowering has not yet run on hardware (sub_per=4 groups are new), so it is
-    opt-in until scripts/tpu_band_check.py rs1 passes on chip — then flip
-    this default (ROADMAP round-4 item)."""
+    bit-exact in interpret mode (tests/test_warp_band.py) but FAILED its
+    round-5 chip gate (scripts/tpu_band_check.py rs1): Mosaic places the
+    s32 displacement-table input window (1,8,61440) in SMEM, blowing the
+    1 MiB SMEM budget ("Allocation (size=1966080) would exceed memory
+    (size=1048576)", space=smem). Stays opt-in until the table is restructured
+    to live in VMEM / shrink per band; HRT_BAND_RS1=1 forces it for debug."""
     return res_scalar >= 2 or os.environ.get("HRT_BAND_RS1") == "1"
 
 
 def batched_warp_enabled() -> bool:
-    """Per-pair batched warp gate (warp_frames_batch): one table build + one
+    """Per-pair batched warp (warp_frames_batch): one table build + one
     band-kernel launch for ALL of a source interval's outputs. Bit-exact vs
     the per-output path (tests/test_round4.py, tests/test_fuzz_engine.py)
-    but the t-folded Mosaic grid (b % n_bands source origins, dynamic SMEM
-    fs index) has not yet run on hardware, so it is opt-in until
-    scripts/tpu_band_check.py batch passes on chip — then flip this default
-    (ROADMAP round-4 chip queue)."""
-    return os.environ.get("HRT_BATCHED_WARP") == "1"
+    AND chip-proven: scripts/tpu_band_check.py `batch` (SDR) and
+    `hdr 4k batch smooth` (4K HDR, apron tier 32, T=5) both ran exact on a
+    v5e chip (round 5 gate run) — so this is ON by default, the served
+    dispatch shape. HRT_BATCHED_WARP=0 opts back out to the per-output
+    dispatch for A/Bs."""
+    return os.environ.get("HRT_BATCHED_WARP", "1") != "0"
 
 
 def estimate_hbm_bytes(frame_height: int, frame_width: int, *, is_hdr: bool,

@@ -65,6 +65,10 @@ RV = RES_V + 8            # rows loaded per fast-path window (default bounds)
 # (res_v=32 -> the window load at the clamped max start reaches rows+res_v).
 RV_SLACK = 40
 WW = 384                  # fast-path window lanes (roll domain; >= 128+res_h+1+ramt)
+# Per-block SMEM displacement-table ceiling: headroom under the ~1 MiB/core
+# TPU SMEM for the fscal block + kernel scalars (chip AOT rejects ~1.9 MB,
+# round-5 rs=1 gate log).
+SMEM_DISP_BUDGET = 512 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
@@ -72,10 +76,16 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _choose_geometry(dim_rows: int, out_w32: int, a_rows: int, a_lanes: int,
-                     cb: int, vmem_budget: int, n_bufs: int):
+                     cb: int, vmem_budget: int, n_bufs: int,
+                     cell: int, nk: int, smem_budget: int = SMEM_DISP_BUDGET):
     """(band_rows, n_tiles, c32, c32_alloc) minimizing band DMA bytes under the
-    VMEM budget. out_w32: packed uint32 output width (a multiple of 128);
-    a_rows/a_lanes: one-sided displacement apron in rows / uint32 lanes."""
+    VMEM budget AND the SMEM displacement-table budget. out_w32: packed uint32
+    output width (a multiple of 128); a_rows/a_lanes: one-sided displacement
+    apron in rows / uint32 lanes; cell/nk size the per-block SMEM disp table
+    ((band/cell) cell-rows x (tile_w32/cb) cells x nk int32 fields) — TPU SMEM
+    is ~1 MiB/core and Mosaic single-buffers the window, so an unconstrained
+    geometry (e.g. one 480-row band at rs=1 480p = 1.92 MB) fails AOT compile
+    with "would exceed memory (size=1048576) space=smem" (round-5 chip gate)."""
     tile_opts = [t for t in range(1, out_w32 // 128 + 1)
                  if out_w32 % t == 0 and (out_w32 // t) % 128 == 0]
     best = None
@@ -92,6 +102,8 @@ def _choose_geometry(dim_rows: int, out_w32: int, a_rows: int, a_lanes: int,
                     # fmap + out blocks, double-buffered across grid steps
                     + 2 * 2 * band * tile_w32 * 4)
             if vmem > vmem_budget:
+                continue
+            if (band // cell) * (tile_w32 // cb) * nk * 4 > smem_budget:
                 continue
             dma = n_bands * nt * rows * c32 * 4 * n_bufs
             if best is None or dma < best[0]:
@@ -608,12 +620,12 @@ def _geometries(*, res_scalar: int, is_hdr: bool, dim_y: int, dim_x: int,
     per32 = 2 if (is_hdr or rs == 1) else 4
     w32 = _round_up(dim_x, per32 * 128) // per32
     gy = _choose_geometry(dim_y, w32, a, a // per32, cell // per32,
-                          vmem_budget, 2)
+                          vmem_budget, 2, cell, 4)
     per32c = 1 if is_hdr else 2
     ac = a // 2
     w32c = _round_up(dim_x // 2, per32c * 128) // per32c
     gc = _choose_geometry(dim_y // 2, w32c, ac, ac // per32c,
-                          cell // per32c, vmem_budget, 4)
+                          cell // per32c, vmem_budget, 4, cell, 6)
     if gy is None or gc is None:
         return None
     return (cell, per32, w32, gy), (per32c, w32c, gc)
@@ -820,15 +832,22 @@ def warp_frame_band(
     org_c = awc + (_slrc - lane_shift_c) * per32c
     c32c = tile_w32c + 2 * (awc // per32c) + (_slrc - lane_shift_c)
     c32c_alloc = max(WW + 128, _round_up(c32c + cbc + 1, 128))
-    n_scx = dim_x // (2 * cell)
+    # Supercell = 2 x-cells sharing the EVEN cell's flow (the strip twin's
+    # `cix & ~1`, ref: warpFrameKernelSDR.h:153-154). CEIL: when n_cx is odd
+    # (rs=1 w=854 -> 427 cells) the last supercell holds one real cell — a
+    # floor count dropped it, and the edge-pad supercell then replicated the
+    # wrong flow column (round-5 rs1 gate: UV cols 852/853 mismatched).
+    n_scx = -(-(dim_x // cell) // 2)
     cptc = (tile_w32c * per32c) // sc_pairs
     pad_scx = n_tiles_c * cptc - n_scx
-    sc_row = jnp.clip(jnp.arange(h2 // cell, dtype=jnp.int32) << 1, 0,
+    # CEIL for the same reason as n_scx: a partial last cell-row (h2 % cell,
+    # possible at rs=1 when dim_y = 2 mod 4) still owns real output rows.
+    n_scy = -(-h2 // cell)
+    sc_row = jnp.clip(jnp.arange(n_scy, dtype=jnp.int32) << 1, 0,
                       low_h - 1)
     sc_col = jnp.clip(jnp.arange(n_scx, dtype=jnp.int32) * 2, 0, low_w - 1)
     cpbc = band_c // cell
     nb_c = _round_up(-(-h2 // band_c), num_shards)
-    n_scy = h2 // cell
 
     def _tables(t):
         """Everything the blending scalar touches, for ONE output t: per-cell

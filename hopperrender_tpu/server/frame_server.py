@@ -114,7 +114,9 @@ class FrameServer:
         self.height = height
         self._display_fps = display_fps
         self._device = device
-        self._batched_warp = batched_warp_enabled()
+        self._batched_warp = (batched_warp_enabled()
+                              if self.settings.batched_warp is None
+                              else bool(self.settings.batched_warp))
         target = self._resolve_target_fps()
         self.cadence = CadenceController(
             source_fps, target,
@@ -179,6 +181,11 @@ class FrameServer:
                 self._display_poller = None
         self.cadence.set_target_fps(self._resolve_target_fps())
         self.scaler.enabled = st.auto_quality
+        if "batched_warp" in kwargs:
+            # Live-applies: the dispatch shape is chosen per deliver() call.
+            self._batched_warp = (batched_warp_enabled()
+                                  if st.batched_warp is None
+                                  else bool(st.batched_warp))
         if self.engine is not None:  # (ref: HopperRender.cpp:1385-1390)
             self.engine.delta_scalar = st.delta_scalar
             self.engine.neighbor_scalar = st.neighbor_scalar

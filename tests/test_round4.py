@@ -175,7 +175,10 @@ def test_engine_batch_rejects_overrange_scalar():
 
 
 def test_batched_warp_gate_env(monkeypatch):
+    # Default ON since the round-5 chip gate passed; "0" opts out.
     monkeypatch.delenv("HRT_BATCHED_WARP", raising=False)
+    assert flow_engine.batched_warp_enabled()
+    monkeypatch.setenv("HRT_BATCHED_WARP", "0")
     assert not flow_engine.batched_warp_enabled()
     monkeypatch.setenv("HRT_BATCHED_WARP", "1")
     assert flow_engine.batched_warp_enabled()

@@ -378,3 +378,22 @@ def test_band_res_scalar1_prepack_tier(rng):
                                     apron_eff=32, chain_bounds=(32, 32), **kw)
     np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
     np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(want[1]))
+
+
+@pytest.mark.parametrize("is_hdr", [False, True])
+def test_band_res_scalar1_odd_cell_count(rng, is_hdr):
+    """rs=1 at a width with an ODD x-cell count (w = 2 mod 4, the 854-wide
+    480p class): the last UV supercell holds only one real cell, which a
+    floor supercell count dropped entirely — its pair then came from an
+    edge-pad supercell carrying the wrong flow column (round-5 chip gate:
+    cols 852/853 mismatched at 480x854). Pins the ceil supercell count."""
+    h, w, apron, rs = 64, 214, 32, 1   # n_cx = 107 (odd), n_scx = 54
+    assert (w // 2) % 2 == 1
+    c1, c2, flow = build_inputs(rng, h, w, rs, is_hdr, apron, max_mag=25)
+    black = 16.0 * (256 if is_hdr else 1)
+    white = 235.0 * (256 if is_hdr else 1)
+    (ys, uvs), (yb, uvb) = run_both(c1, c2, flow, 0.375, black, white,
+                                    rs=rs, mode=2, is_hdr=is_hdr,
+                                    h=h, w=w, apron=apron)
+    np.testing.assert_array_equal(yb, ys)
+    np.testing.assert_array_equal(uvb, uvs)
