@@ -575,9 +575,9 @@ class OpticalFlowEngine:
         #   3 (HSV flow):  the strip twin's blended samples + structured flow
         #                  upsample colorization.
         #   5 (side-by-side full res): source copy | fast mode-2 concat.
-        #   6 (side-by-side 2x): Y fully structured over the fast mode-2
-        #                  output; UV keeps the gather formulation restricted
-        #                  to the band rows (debug-grade, ~3-4x cheaper).
+        #   6 (side-by-side 2x): Y and the UV U-outputs fully structured over
+        #                  the fast mode-2 output; only the UV V-outputs
+        #                  gather (H/4 x W/4 pixels, warp_viz docstring).
         if mode == 4 and self.use_warp_strips:
             return warp_strip.grey_flow_frame(
                 flow, res_scalar=self.res_scalar, is_hdr=self.is_hdr,
@@ -598,9 +598,8 @@ class OpticalFlowEngine:
                 return warp_viz.side_by_side_1(f0[0], f0[1], w2y, w2uv,
                                                dim_x=self.w)
             return warp_viz.side_by_side_2(
-                f0[0], f0[1], f1[0], f1[1], w2y, flow,
-                jnp.float32(blending_scalar), jnp.float32(black),
-                jnp.float32(white),
+                f0[0], f0[1], f1[1], w2y, w2uv, flow,
+                jnp.float32(blending_scalar), jnp.float32(white),
                 res_scalar=self.res_scalar, is_hdr=self.is_hdr,
                 dim_y=self.h, dim_x=self.w)
         if self.use_warp_band and mode in (0, 1, 2) and wctx0 is not None:

@@ -13,14 +13,26 @@ already produce:
 
   * Mode 6 (SideBySide2, ref: warpFrameKernelSDR.h:135-151): a centered
     vertical band shows the 2x-downsampled source (left) and the
-    2x-downsampled mode-2 blend (right). For the Y plane both halves are
-    strided slices (the reference's adjusted coordinates are exactly
-    even-row/even-col subsampling), so Y needs NO gathers beyond the fast
-    mode-2 warp it reuses. The UV plane's right half samples with the OUTPUT
-    pixel's parity at adjusted coordinates — not derivable from the full-res
-    mode-2 UV plane — so UV keeps the reference formulation restricted to the
-    band rows (a 2x cut of its gathers). Mode 6 is therefore ~3-4x cheaper
-    than the full gather formulation but remains a debug-grade path.
+    2x-downsampled mode-2 blend (right).
+
+    Y plane: both halves are strided slices (the reference's adjusted
+    coordinates are exactly even-row/even-col subsampling of the source and
+    of the full-res mode-2 output) — NO gathers beyond the fast mode-2 warp.
+
+    UV plane, left half: the reference reads source column
+    (cx << 1) + (cx & 1) at even rows — U from every even source pair, V from
+    every odd source pair: two strided slices, interleaved. Structured.
+
+    UV plane, right half: the reference samples with the OUTPUT pixel's
+    parity at adjusted (doubled) coordinates. The U outputs (cx even) apply
+    parity 0 at an even adjusted column — IDENTICAL, formula for formula
+    (same scaled/flow/mirror/levels math), to the full-res mode-2 UV output
+    at (adjCy, adjCx), so they are a strided subsample of warp2_uv. Only the
+    V outputs (parity 1 at an even adjusted column, which no mode-2 pixel
+    computes) need a gather — one pixel per output V, dim_y/4 x dim_x/4
+    elements: 4x fewer than gathering the whole band, 8x fewer than a
+    full-frame UV warp. Mode 6 therefore costs the fast mode-2 warp it
+    reuses plus a quarter-band UV gather.
 
 Both compositions are bit-exact twins of ops/warp.py modes 5/6 (tested in
 tests/test_warp_strip.py)."""
@@ -32,7 +44,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from hopperrender_tpu.ops import warp as warp_ops
+from hopperrender_tpu.ops.warp import (
+    F32, _apply_levels_uv, _mirror_warp, _round_c)
 
 
 @functools.partial(jax.jit, static_argnames=("dim_x",))
@@ -46,48 +59,103 @@ def side_by_side_1(src12_y, src12_uv, warp2_y, warp2_uv, *, dim_x: int):
     return y, uv
 
 
+def _sbs2_uv_v_half(src12_uv, src21_uv, flow, fs12, white,
+                    *, res_scalar: int, is_hdr: bool, dim_y: int, dim_x: int,
+                    m_off: int):
+    """Mode-6 right-half V outputs only: the blend with PARITY 1 at the even
+    adjusted column 2m for m = m_off, m_off+2, ... (the columns whose output
+    pixel cx = dim_x/2 + m is odd). One gathered pixel per output V — the
+    only part of mode 6 the structured compositions cannot provide
+    (ref: warpFrameKernelSDR.h:143-145 adjusted coords, :178-183 sampling
+    with `(newCx & ~1) + (cx & 1)` where cx is the OUTPUT column)."""
+    half = dim_x >> 1
+    band_c = dim_y >> 2
+    plane_h = dim_y >> 1
+    low_h, low_w = flow.shape[1:]
+    n_v = (half - m_off + 1) // 2
+    fs21 = (F32(1.0) - fs12).astype(F32)
+
+    mm = m_off + 2 * jnp.arange(n_v, dtype=jnp.int32)
+    adj_cx = jnp.broadcast_to((mm << 1)[None, :], (band_c, n_v))
+    adj_cy = jnp.broadcast_to(
+        (jnp.arange(band_c, dtype=jnp.int32) << 1)[:, None], (band_c, n_v))
+
+    # Flow lookup + warped positions: verbatim twins of
+    # warp.warp_frame_plane's cz=1 path (ref: warpFrameKernelSDR.h:153-170).
+    scaled_cx = jnp.clip((adj_cx >> res_scalar) & ~1, 0, low_w - 1)
+    scaled_cy = jnp.clip((adj_cy >> res_scalar) << 1, 0, low_h - 1)
+    off_x12 = flow[0][scaled_cy, scaled_cx].astype(jnp.int32)
+    off_y12 = flow[1][scaled_cy, scaled_cx].astype(jnp.int32)
+    back_cy = jnp.clip(scaled_cy - (off_y12 >> res_scalar), 0, low_h - 1)
+    back_cx = jnp.clip(scaled_cx - (off_x12 >> res_scalar), 0, low_w - 1)
+    off_x21 = flow[0][back_cy, back_cx].astype(jnp.int32)
+    off_y21 = flow[1][back_cy, back_cx].astype(jnp.int32)
+
+    new_cx12 = _mirror_warp(adj_cx + _round_c(off_x12.astype(F32) * fs12),
+                            dim_x)
+    new_cy12 = _mirror_warp(
+        adj_cy + _round_c(off_y12.astype(F32) * fs12 * F32(0.5)), plane_h)
+    new_cx21 = _mirror_warp(adj_cx - _round_c(off_x21.astype(F32) * fs21),
+                            dim_x)
+    new_cy21 = _mirror_warp(
+        adj_cy - _round_c(off_y21.astype(F32) * fs21 * F32(0.5)), plane_h)
+
+    v12 = src12_uv[new_cy12, (new_cx12 & ~1) + 1].astype(F32)
+    v21 = src21_uv[new_cy21, (new_cx21 & ~1) + 1].astype(F32)
+    blended = jnp.trunc(v12 * fs21 + v21 * fs12).astype(jnp.int32)
+    return _apply_levels_uv(blended, white.astype(F32), is_hdr)
+
+
 @functools.partial(
     jax.jit, static_argnames=("res_scalar", "is_hdr", "dim_y", "dim_x"),
 )
-def side_by_side_2(src12_y, src12_uv, src21_y, src21_uv, warp2_y, flow,
-                   blending_scalar, black_level, white_level,
+def side_by_side_2(src12_y, src12_uv, src21_uv, warp2_y, warp2_uv, flow,
+                   blending_scalar, white_level,
                    *, res_scalar: int, is_hdr: bool, dim_y: int, dim_x: int):
     """Mode 6: centered band of 2x-downsampled source (left) and blend
     (right), black/neutral elsewhere (ref: warpFrameKernelSDR.h:135-151).
 
-    Y plane: fully structured — the reference's adjusted coordinates
-    ((cy - vo) << 1, (cx [- W/2]) << 1) are even-stride subsampling of the
-    source plane and of the full-resolution mode-2 output (warp2_y), so both
-    halves are strided slices.
-
-    UV plane: the right half applies the OUTPUT pixel's parity at adjusted
-    coordinates, which the full-res mode-2 UV cannot provide; it reuses the
-    reference formulation restricted to the band rows via row sharding
-    (warp_ops.warp_frame_plane row_offset/out_rows)."""
+    Y: strided slices of the source and of warp2_y (the fast mode-2 output).
+    UV: left half and the right half's U outputs are strided slices (of the
+    source and of warp2_uv); only the right half's V outputs gather
+    (_sbs2_uv_v_half) — see the module docstring for the derivation."""
     dtype = jnp.uint16 if is_hdr else jnp.uint8
     half = dim_x >> 1
 
     # ---- Y: structured composition ----------------------------------------
     vo = dim_y >> 2
     band_h = dim_y >> 1
-    left = src12_y[0:dim_y:2, 0:dim_x:2]          # (H/2, W/2)
-    right = warp2_y[0:dim_y:2, 0:dim_x:2]
-    band = jnp.concatenate([left, right], axis=1).astype(dtype)
+    left_y = src12_y[0:dim_y:2, 0:dim_x:2]            # (H/2, W/2)
+    right_y = warp2_y[0:dim_y:2, 0:dim_x:2]
+    band = jnp.concatenate([left_y, right_y], axis=1).astype(dtype)
     y = jnp.zeros((dim_y, dim_x), dtype)
     y = jax.lax.dynamic_update_slice(y, band[:band_h], (vo, 0))
 
-    # ---- UV: reference formulation on the band rows only ------------------
+    # ---- UV ----------------------------------------------------------------
     vo_c = vo >> 1
     band_c = dim_y >> 2
-    uv_band = warp_ops.warp_frame_plane(
-        src12_y, src12_uv, src21_y, src21_uv, flow,
-        jnp.asarray(blending_scalar, jnp.float32),
-        jnp.asarray(black_level, jnp.float32),
-        jnp.asarray(white_level, jnp.float32),
-        vo_c,
-        res_scalar=res_scalar, mode=6, cz=1, is_hdr=is_hdr, out_rows=band_c,
-    )
+
+    # Left half: U from every even source pair, V from every odd source pair
+    # (source column (cx << 1) + (cx & 1) at even rows) — two strided slices.
+    rows2 = src12_uv[0:2 * band_c:2]                   # (band_c, dim_x)
+    n_u = (half + 1) // 2                              # even cx count
+    n_vl = half // 2                                   # odd cx count
+    left_uv = jnp.zeros((band_c, half), dtype)
+    left_uv = left_uv.at[:, 0::2].set(rows2[:, 0::4][:, :n_u])
+    left_uv = left_uv.at[:, 1::2].set(rows2[:, 3::4][:, :n_vl])
+
+    # Right half: start from the U candidates (strided warp2_uv subsample),
+    # then overwrite the V output columns with the parity-1 gather.
+    right_uv = warp2_uv[0:2 * band_c:2, 0:dim_x:2]     # (band_c, half)
+    m_off = 1 - (half & 1)       # (half + m) odd <=> m = m_off (mod 2)
+    vv = _sbs2_uv_v_half(
+        src12_uv, src21_uv, flow, jnp.asarray(blending_scalar, F32),
+        jnp.asarray(white_level, F32), res_scalar=res_scalar, is_hdr=is_hdr,
+        dim_y=dim_y, dim_x=dim_x, m_off=m_off)
+    right_uv = right_uv.at[:, m_off::2].set(vv.astype(dtype))
+
     mid = 32768 if is_hdr else 128
     uv = jnp.full((dim_y >> 1, dim_x), mid, dtype)
-    uv = jax.lax.dynamic_update_slice(uv, uv_band, (vo_c, 0))
+    uv = jax.lax.dynamic_update_slice(
+        uv, jnp.concatenate([left_uv, right_uv], axis=1), (vo_c, 0))
     return y, uv

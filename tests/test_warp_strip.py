@@ -94,7 +94,8 @@ def test_warp_strip_extreme_offsets(rng):
 # output (ops/warp_viz.py). All are bit-exact twins of ops/warp.py.
 
 @pytest.mark.parametrize("is_hdr", [False, True])
-@pytest.mark.parametrize("h,w,rs", [(64, 128, 2), (32, 64, 1), (64, 64, 3)])
+@pytest.mark.parametrize("h,w,rs", [(64, 128, 2), (32, 64, 1), (64, 64, 3),
+                                    (32, 70, 1)])  # w = 2 mod 4: odd half
 def test_viz_modes_match_reference(rng, is_hdr, h, w, rs):
     import jax.numpy as jnp
     from hopperrender_tpu.ops import warp as warp_ops
@@ -142,10 +143,10 @@ def test_viz_modes_match_reference(rng, is_hdr, h, w, rs):
     np.testing.assert_array_equal(np.asarray(gy), np.asarray(ry))
     np.testing.assert_array_equal(np.asarray(guv), np.asarray(ruv))
 
-    # mode 6: structured Y over fast mode-2 + band-restricted UV
+    # mode 6: structured Y + UV U-outputs over fast mode-2; V-only UV gather
     gy, guv = warp_viz.side_by_side_2(
-        jnp.asarray(f1[0]), jnp.asarray(f1[1]), jnp.asarray(f2[0]),
-        jnp.asarray(f2[1]), w2y, fl, t, black, white, dim_y=h, dim_x=w, **kw)
+        jnp.asarray(f1[0]), jnp.asarray(f1[1]), jnp.asarray(f2[1]),
+        w2y, w2uv, fl, t, white, dim_y=h, dim_x=w, **kw)
     ry, ruv = ref(6)
     np.testing.assert_array_equal(np.asarray(gy), np.asarray(ry))
     np.testing.assert_array_equal(np.asarray(guv), np.asarray(ruv))
