@@ -49,7 +49,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from hopperrender_tpu.ops.warp import F32, _apply_levels_y, _apply_levels_uv
-from hopperrender_tpu.ops.warp_strip import _cell_displacements
+from hopperrender_tpu.ops.warp_strip import (
+    _displacements_from_offsets, _pair_offsets)
 
 U32 = jnp.uint32
 
@@ -812,8 +813,15 @@ def warp_frame_band(
     n_cx = dim_x // cell
     cpt = (tile_w32 * per32) // cell
     pad_cx = n_tiles * cpt - n_cx
-    row_idx = jnp.clip(jnp.arange(n_cy, dtype=jnp.int32), 0, low_h - 1)
-    col_idx = jnp.clip(jnp.arange(n_cx, dtype=jnp.int32), 0, low_w - 1)
+    # Cell grid == flow grid (cell = 1 << rs and dims are cell-divisible), so
+    # the per-cell flow lookups are identity takes on the Y plane and stride-2
+    # slices on the UV plane — NOT gathers. Keep the gather fallback only for
+    # a flow grid that disagrees with dim >> rs (defensive; unreached by the
+    # engine, whose calc dims define both).
+    ident = n_cy == low_h and n_cx == low_w
+    if not ident:
+        row_idx = jnp.clip(jnp.arange(n_cy, dtype=jnp.int32), 0, low_h - 1)
+        col_idx = jnp.clip(jnp.arange(n_cx, dtype=jnp.int32), 0, low_w - 1)
     cpb = band_rows // cell
     nb_y = _round_up(-(-dim_y // band_rows), num_shards)
 
@@ -843,23 +851,29 @@ def warp_frame_band(
     # CEIL for the same reason as n_scx: a partial last cell-row (h2 % cell,
     # possible at rs=1 when dim_y = 2 mod 4) still owns real output rows.
     n_scy = -(-h2 // cell)
-    sc_row = jnp.clip(jnp.arange(n_scy, dtype=jnp.int32) << 1, 0,
-                      low_h - 1)
-    sc_col = jnp.clip(jnp.arange(n_scx, dtype=jnp.int32) * 2, 0, low_w - 1)
+    if not ident:
+        sc_row = jnp.clip(jnp.arange(n_scy, dtype=jnp.int32) << 1, 0,
+                          low_h - 1)
+        sc_col = jnp.clip(jnp.arange(n_scx, dtype=jnp.int32) * 2, 0,
+                          low_w - 1)
     cpbc = band_c // cell
     nb_c = _round_up(-(-h2 // band_c), num_shards)
+
+    # The back-flow lookup (the table build's one real gather) is
+    # t-independent: compute it ONCE per pair, outside the batched vmap.
+    offs = _pair_offsets(flow, rs, low_h, low_w)
 
     def _tables(t):
         """Everything the blending scalar touches, for ONE output t: per-cell
         displacement tables, fast-path certificates, and residual maps for
         both planes. Vmapped over the (T,) scalar vector on the batched
         (per-pair) path — the sources and all static geometry are shared."""
-        dx12, dy12, dx21, dy21, dy12_uv, dy21_uv = _cell_displacements(
-            flow, t, rs, low_h, low_w)
+        dx12, dy12, dx21, dy21, dy12_uv, dy21_uv = \
+            _displacements_from_offsets(offs, t)
 
         def y_table(dy, dx):
-            dyc = dy[row_idx][:, col_idx]
-            dxc = dx[row_idx][:, col_idx]
+            dyc = dy if ident else dy[row_idx][:, col_idx]
+            dxc = dx if ident else dx[row_idx][:, col_idx]
             if pad_cx:
                 # Edge-pad: padded cells replicate the last real cell so they
                 # cannot break the fast path's per-subtile min/max bounds
@@ -889,8 +903,12 @@ def warp_frame_band(
                  .transpose(0, 2, 1, 3, 4))
 
         def uv_table(dx, dyuv):
-            dxc = dx[sc_row][:, sc_col]
-            dyc = dyuv[sc_row][:, sc_col]
+            if ident:    # stride-2 slices (see `ident`); shapes (n_scy, n_scx)
+                dxc = dx[::2, ::2]
+                dyc = dyuv[::2, ::2]
+            else:
+                dxc = dx[sc_row][:, sc_col]
+                dyc = dyuv[sc_row][:, sc_col]
             if pad_scx:
                 dxc = jnp.pad(dxc, ((0, 0), (0, pad_scx)), mode="edge")
                 dyc = jnp.pad(dyc, ((0, 0), (0, pad_scx)), mode="edge")

@@ -139,12 +139,12 @@ def build_warp_context(y: jnp.ndarray, uv: jnp.ndarray, *, apron: int, is_hdr: b
     return dict(wpad_y=pad_y, wpad_uv=pad_uv)
 
 
-def _cell_displacements(flow: jnp.ndarray, t, res_scalar: int, low_h: int, low_w: int):
-    """Per-cell integer displacements for both directions, exactly as the reference
-    computes them per pixel (ref: warpFrameKernelSDR.h:153-170): flow12 at the cell,
-    flow21 sampled at (cell - flow12 >> rs) clamped, C-rounded scaled offsets."""
-    fs12 = jnp.asarray(t, F32)
-    fs21 = (F32(1.0) - fs12).astype(F32)
+def _pair_offsets(flow: jnp.ndarray, res_scalar: int, low_h: int, low_w: int):
+    """The t-INDEPENDENT half of the per-cell displacement math: flow12 at the
+    cell and flow21 sampled at (cell - flow12 >> rs) clamped (the back-flow
+    gather, ref: warpFrameKernelSDR.h:153-158). Hoist this out of any per-t
+    vmap — the back gather is the table build's one real gather (~low_h*low_w
+    indices) and it is identical for every output of a pair."""
     off_x12 = flow[0].astype(jnp.int32)
     off_y12 = flow[1].astype(jnp.int32)
     back_y = jnp.clip(
@@ -155,7 +155,15 @@ def _cell_displacements(flow: jnp.ndarray, t, res_scalar: int, low_h: int, low_w
         - (off_x12 >> res_scalar), 0, low_w - 1)
     off_x21 = flow[0][back_y, back_x].astype(jnp.int32)
     off_y21 = flow[1][back_y, back_x].astype(jnp.int32)
-    # Y plane displacements
+    return off_x12, off_y12, off_x21, off_y21
+
+
+def _displacements_from_offsets(offs, t):
+    """The t-DEPENDENT half: C-rounded scaled offsets (elementwise only;
+    ref: warpFrameKernelSDR.h:166-170)."""
+    off_x12, off_y12, off_x21, off_y21 = offs
+    fs12 = jnp.asarray(t, F32)
+    fs21 = (F32(1.0) - fs12).astype(F32)
     dx12 = _round_c(off_x12.astype(F32) * fs12)
     dy12 = _round_c(off_y12.astype(F32) * fs12)
     dx21 = -_round_c(off_x21.astype(F32) * fs21)
@@ -164,6 +172,14 @@ def _cell_displacements(flow: jnp.ndarray, t, res_scalar: int, low_h: int, low_w
     dy12_uv = _round_c(off_y12.astype(F32) * fs12 * F32(0.5))
     dy21_uv = -_round_c(off_y21.astype(F32) * fs21 * F32(0.5))
     return (dx12, dy12, dx21, dy21, dy12_uv, dy21_uv)
+
+
+def _cell_displacements(flow: jnp.ndarray, t, res_scalar: int, low_h: int, low_w: int):
+    """Per-cell integer displacements for both directions, exactly as the reference
+    computes them per pixel (ref: warpFrameKernelSDR.h:153-170): flow12 at the cell,
+    flow21 sampled at (cell - flow12 >> rs) clamped, C-rounded scaled offsets."""
+    return _displacements_from_offsets(
+        _pair_offsets(flow, res_scalar, low_h, low_w), t)
 
 
 def _gather_runs(plane, row_idx, base, run: int, group: int):
