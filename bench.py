@@ -354,6 +354,14 @@ def main() -> None:
     if args.radius == "auto":
         radii = [r for r in BUCKETS
                  if hcfg.MIN_SEARCH_RADIUS <= r <= hcfg.MAX_SEARCH_RADIUS]
+        # Deadline-robust order: after the max-quality bucket, measure the
+        # LIKELY operating point (8) before 12 — a deadline/timeout partial
+        # then already contains the budget-meeting bucket (run 2 of round 5
+        # lost its 1.02x r8 result to the 2100 s deadline because 12 ran
+        # first). The selection below still reports the HIGHEST radius
+        # meeting budget, so the scaler semantics are unchanged.
+        if radii == [16, 12, 8, 5]:
+            radii = [16, 8, 12, 5]
     else:
         radii = [int(args.radius)]
 
@@ -364,8 +372,9 @@ def main() -> None:
         suffix += "_per_output"
     metric = f"{args.config}{suffix}_flow_plus_warp_per_source_frame"
 
-    chosen = None
-    for radius in radii:
+    fastest = None   # fastest bucket overall (fallback when none meets budget)
+    best_ok = None   # HIGHEST radius meeting budget = the scaler's operating point
+    for i, radius in enumerate(radii):
         flow_ms, warp_ms, per_source_ms = measure(radius)
         if not args.json_only:
             print(
@@ -374,15 +383,18 @@ def main() -> None:
                 f"{per_source_ms:8.3f} ms ({budget_ms / per_source_ms:.2f}x realtime)",
                 file=sys.stderr,
             )
-        # Scaler semantics: the FIRST bucket meeting budget (highest radius)
-        # is the operating point; among buckets that miss, keep the fastest.
-        if chosen is None or per_source_ms < chosen[3]:
-            chosen = (radius, flow_ms, warp_ms, per_source_ms)
+        rec = (radius, flow_ms, warp_ms, per_source_ms)
+        if fastest is None or per_source_ms < fastest[3]:
+            fastest = rec
+        if per_source_ms <= budget_ms and (best_ok is None
+                                           or radius > best_ok[0]):
+            best_ok = rec
         # Emit the best-so-far artifact line NOW: a mid-run kill (driver
         # timeout, tunnel death) leaves the last printed line as the parsed
         # result instead of parsed=null (rounds 3 and 4 both lost completed
         # bucket measurements this way). The completed-run reprint below is
         # identical, so "last JSON line wins" is correct in every exit path.
+        chosen = best_ok or fastest
         _BEST.clear()
         _BEST.update({
             "metric": metric,
@@ -392,10 +404,10 @@ def main() -> None:
             "radius": chosen[0],
         })
         print(json.dumps(dict(_BEST, buckets_done=f"{radius}<=16")))
-        if per_source_ms <= budget_ms:
-            break  # highest radius meeting the budget = the scaler's operating point
+        if best_ok is not None and all(r < best_ok[0] for r in radii[i + 1:]):
+            break   # no remaining bucket can raise the operating point
 
-    radius, flow_ms, warp_ms, per_source_ms = chosen
+    radius, flow_ms, warp_ms, per_source_ms = best_ok or fastest
     result = dict(_BEST)
     if not args.json_only:
         print(
