@@ -42,15 +42,16 @@ from hopperrender_tpu.ops import warp_viz
 
 
 def _band_rs_enabled(res_scalar: int) -> bool:
-    """Band-kernel routing gate per res_scalar. rs >= 2 is chip-proven; the
-    rs=1 layout (480p class, 2-px cells via the 16-bit slot packing) is
-    bit-exact in interpret mode (tests/test_warp_band.py) but FAILED its
-    round-5 chip gate (scripts/tpu_band_check.py rs1): Mosaic places the
-    s32 displacement-table input window (1,8,61440) in SMEM, blowing the
-    1 MiB SMEM budget ("Allocation (size=1966080) would exceed memory
-    (size=1048576)", space=smem). Stays opt-in until the table is restructured
-    to live in VMEM / shrink per band; HRT_BAND_RS1=1 forces it for debug."""
-    return res_scalar >= 2 or os.environ.get("HRT_BAND_RS1") == "1"
+    """Band-kernel routing gate per res_scalar: every supported layout is now
+    chip-proven. rs >= 2 since round 2; the rs=1 layout (480p class, 2-px
+    cells via the 16-bit slot packing) passed its chip gate in round 5
+    (scripts/tpu_band_check.py rs1: all modes Y+UV exact + apron tier) after
+    two fixes the gate itself caught — the SMEM displacement-table budget in
+    _choose_geometry and the odd-x-cell-count UV supercell ceil
+    (warp_band.py). HRT_BAND_RS1=0 opts 480p back to strips for A/Bs."""
+    if os.environ.get("HRT_BAND_RS1") == "0":
+        return res_scalar >= 2
+    return res_scalar >= 1
 
 
 def batched_warp_enabled() -> bool:

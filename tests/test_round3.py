@@ -139,9 +139,9 @@ def test_engine_chain_bounds_pick_rule():
 
 
 def test_band_rs1_gate(monkeypatch):
-    """rs=1 band routing must stay OFF (strip path) until chip-validated,
-    on BOTH derivation sites (init and the _refresh_geometry rebuild), and
-    flip on via HRT_BAND_RS1 — the documented enablement path."""
+    """rs=1 band routing is ON by default (chip-proven round 5) on BOTH
+    derivation sites (init and the _refresh_geometry rebuild); HRT_BAND_RS1=0
+    opts 480p back to the strip warp for A/Bs."""
     import types
 
     monkeypatch.delenv("HRT_BAND_RS1", raising=False)
@@ -151,12 +151,12 @@ def test_band_rs1_gate(monkeypatch):
     eng._device = types.SimpleNamespace(platform="tpu")
     eng.search_radius = hcfg.MAX_SEARCH_RADIUS
     assert eng._refresh_geometry() in (True, False)
-    assert not eng.use_warp_band
-    monkeypatch.setenv("HRT_BAND_RS1", "1")
+    assert eng.use_warp_band
+    monkeypatch.setenv("HRT_BAND_RS1", "0")
     eng.search_radius = hcfg.MIN_SEARCH_RADIUS
     eng._flow_buckets = [5, 5]
     assert eng._refresh_geometry()          # bucket change forces re-derive
-    assert eng.use_warp_band
+    assert not eng.use_warp_band
 
 
 def test_engine_noise_content_tiers_compose_bit_exact():
