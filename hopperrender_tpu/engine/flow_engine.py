@@ -54,6 +54,16 @@ def _band_rs_enabled(res_scalar: int) -> bool:
     return res_scalar >= 1
 
 
+def warp_kernel_unroll() -> int:
+    """Band-kernel group-loop unroll factor (warp_band kernel_unroll). Each
+    (8,128) output group is a latency-bound serial chain; adjacent groups are
+    independent, so unrolling interleaves chains in the VPU pipeline.
+    Bit-exact at any factor (pure loop scheduling). Default 1 until the chip
+    A/B (scripts/tpu_warp_decomp.py) picks the winner; HRT_WARP_UNROLL=N
+    overrides for A/Bs."""
+    return max(1, int(os.environ.get("HRT_WARP_UNROLL", "1")))
+
+
 def batched_warp_enabled() -> bool:
     """Per-pair batched warp (warp_frames_batch): one table build + one
     band-kernel launch for ALL of a source interval's outputs. Bit-exact vs
@@ -612,6 +622,7 @@ class OpticalFlowEngine:
                 dim_y=self.h, dim_x=self.w, apron=apron,
                 apron_eff=self.warp_apron_used, chain_bounds=cb,
                 interpret=self._band_interpret,
+                kernel_unroll=warp_kernel_unroll(),
             )
         if self.use_warp_strips and mode in (0, 1, 2) and wctx0 is not None:
             return warp_strip.warp_frame_strip(
@@ -658,7 +669,8 @@ class OpticalFlowEngine:
             res_scalar=self.res_scalar, mode=mode, is_hdr=self.is_hdr,
             dim_y=self.h, dim_x=self.w, apron=apron,
             apron_eff=self.warp_apron_used, chain_bounds=cb,
-            interpret=self._band_interpret)
+            interpret=self._band_interpret,
+            kernel_unroll=warp_kernel_unroll())
 
     def warp_frames_batch(self, blending_scalars, frame_output_mode: int):
         """All of one source interval's outputs in ONE dispatch: a single

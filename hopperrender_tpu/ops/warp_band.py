@@ -206,7 +206,7 @@ def _merge_cells_kernel(
     is_uv: bool, n_par: int, cpt: int, nk: int, xdiv8: int, sdiv8: int,
     res_v: int = RES_V, res_h: int = RES_H,
     row_shift: int = 0, lane_shift: int = 0, slot16: bool = False,
-    batched: bool = False,
+    batched: bool = False, unroll: int = 1, force_fast: bool = False,
 ):
     """Kernel factory. Refs:
       disp_ref  SMEM (1, 8, cpb*cpt*nk/8) int32, flattened per-cell records of
@@ -224,6 +224,19 @@ def _merge_cells_kernel(
       out_ref   VMEM (band_rows, tile_w32) u32
       band12/21 VMEM (n_par, band_rows + 2*a_rows + RV, c32_alloc) u32 scratch
       sem       DMA  (2, n_par)
+
+    unroll: group-loop unroll factor. Each (8,128) output group's merge is a
+    LATENCY-BOUND serial dependence chain (window load -> dynamic roll ->
+    select stages -> masked merge); adjacent groups are fully independent
+    (distinct out_ref tiles), so unrolling the fori_loop interleaves N chains
+    in the VPU pipeline and converts the latency bound toward the throughput
+    bound. Outputs are bit-identical for any unroll (pure loop scheduling).
+
+    force_fast: PROBE-ONLY cost-attribution lever — skip the per-group
+    fast/slow cond and always run the fast path. Memory-safe for any input
+    (fscal fields are zeroed when not certified, so loads stay in bounds) but
+    output-correct ONLY when every subtile certifies fast; prices the
+    per-group branch for A/Bs (scripts/tpu_warp_decomp.py).
 
     batched: per-pair BATCHED grid (warp_frame_band with a (T,) blending-scalar
     vector). The grid gains a t_batch axis as its INNERMOST dimension —
@@ -449,7 +462,11 @@ def _merge_cells_kernel(
                     if mode != 0 else jnp.zeros((8, 128), U32)
                 return a12, a21
 
-            acc12, acc21 = jax.lax.cond(ok, fast, lambda: slow_group(gi, cr8, g))
+            if force_fast:
+                acc12, acc21 = fast()
+            else:
+                acc12, acc21 = jax.lax.cond(
+                    ok, fast, lambda: slow_group(gi, cr8, g))
 
             if mode == 0:
                 packed = acc12
@@ -476,7 +493,7 @@ def _merge_cells_kernel(
             out_ref[pl.ds(ro, 8), pl.ds(co, 128)] = packed
             return 0
 
-        jax.lax.fori_loop(0, n_groups, group_body, 0)
+        jax.lax.fori_loop(0, n_groups, group_body, 0, unroll=unroll)
 
     return kernel
 
@@ -486,7 +503,8 @@ def _band_call(disp, fscal, fs, lev, fmap, src12, src21, *, cell,
                out_rows, mode, is_hdr, is_uv, n_par, interpret,
                res_v=RES_V, res_h=RES_H, row_shift=0, lane_shift=0,
                slot16=False, n_bands=None, band_start=None,
-               n_bands_local=None, full_apron=None, t_batch=1):
+               n_bands_local=None, full_apron=None, t_batch=1,
+               unroll=1, force_fast=False):
     """band_start / n_bands_local: mesh row-band sharding (parallel/mesh.py).
     The per-band operands (disp, fscal, fmap) and the packed sources are
     sliced to this shard's contiguous run of bands BEFORE the pallas_call, so
@@ -521,7 +539,7 @@ def _band_call(disp, fscal, fs, lev, fmap, src12, src21, *, cell,
         is_hdr=is_hdr, is_uv=is_uv, n_par=n_par, cpt=cpt, nk=k, xdiv8=xdiv8,
         sdiv8=sdiv8, res_v=res_v, res_h=res_h,
         row_shift=row_shift, lane_shift=lane_shift, slot16=slot16,
-        batched=batched)
+        batched=batched, unroll=unroll, force_fast=force_fast)
     disp = disp.reshape(disp.shape[0], disp.shape[1] * 8, xdiv8)
     # fscal: (n_gr_total, n_tiles, n_sub, 2) -> (nb, nt*8, sdiv8)
     n_sub = tile_w32 // 128
@@ -711,7 +729,7 @@ def pack_band_context(wctx: dict, *, res_scalar: int, is_hdr: bool,
     jax.jit, static_argnames=("res_scalar", "mode", "is_hdr", "dim_y", "dim_x",
                               "apron", "interpret", "vmem_budget",
                               "chain_bounds", "debug_prep_only", "apron_eff",
-                              "num_shards"),
+                              "num_shards", "kernel_unroll", "force_fast"),
 )
 def warp_frame_band(
     wctx12: dict, wctx21: dict,
@@ -723,6 +741,7 @@ def warp_frame_band(
     chain_bounds: tuple = (RES_V, RES_H), debug_prep_only: bool = False,
     apron_eff: int | None = None,
     num_shards: int = 1, shard_index=None,
+    kernel_unroll: int = 1, force_fast: bool = False,
 ):
     """Pallas twin of warp_strip.warp_frame_strip (identical outputs) for modes
     0/1/2. Consumes the same per-frame warp contexts.
@@ -769,6 +788,7 @@ def warp_frame_band(
     assert mode in (0, 1, 2)
     assert (shard_index is None) == (num_shards == 1)
     assert not (debug_prep_only and num_shards > 1)
+    assert kernel_unroll >= 1
     res_v, res_h = chain_bounds
     assert res_v in (8, 16, 32) and res_h in (8, 16, 32), chain_bounds
     assert res_v + 8 <= RV_SLACK   # fast window must fit the scratch slack
@@ -788,8 +808,6 @@ def warp_frame_band(
     batched = ts.ndim == 1
     t_batch = int(ts.shape[0]) if batched else 1
     assert ts.ndim <= 1
-    assert not (batched and debug_prep_only), \
-        "batched (vector-t) warp: non-debug only"
     fs = ts.reshape(t_batch, 1)
     lev = jnp.stack([jnp.asarray(black_level, F32),
                      jnp.asarray(white_level, F32)]).reshape(1, 2)
@@ -982,11 +1000,13 @@ def warp_frame_band(
     src12y = y_src(wctx12)
     src21y = y_src(wctx21)
     if debug_prep_only:
-        # Cost-attribution probe (scripts/tpu_warp_bench.py bandprep): force
-        # every XLA-side table/packing computation, skip the Pallas call.
+        # Cost-attribution probe (scripts/tpu_warp_bench.py bandprep /
+        # tpu_warp_decomp.py): force every XLA-side table/packing computation
+        # (incl. the batched vmapped build + fold), skip the Pallas call.
         s = (jnp.sum(fmY.astype(U32)) + jnp.sum(fscY.astype(U32))
              + jnp.sum(dispY.astype(U32)) + jnp.sum(src12y) + jnp.sum(src21y))
-        y = jnp.broadcast_to((s & 0xFF).astype(dtype), (dim_y, dim_x))
+        yshape = (t_batch, dim_y, dim_x) if batched else (dim_y, dim_x)
+        y = jnp.broadcast_to((s & 0xFF).astype(dtype), yshape)
     else:
         outy = _band_call(
             dispY, fscY, fs, lev, fmY, src12y, src21y, cell=cell,
@@ -999,7 +1019,7 @@ def warp_frame_band(
                 None if shard_index is None
                 else shard_index * (nb_y // num_shards)),
             n_bands_local=nb_y // num_shards, full_apron=a,
-            t_batch=t_batch)
+            t_batch=t_batch, unroll=kernel_unroll, force_fast=force_fast)
         if batched:
             rows_loc = outy.shape[0] // t_batch
             rows_y_out = dim_y if shard_index is None else rows_loc
@@ -1032,8 +1052,10 @@ def warp_frame_band(
     if debug_prep_only:
         s = (jnp.sum(fmC.astype(U32)) + jnp.sum(fscC.astype(U32))
              + jnp.sum(dispC.astype(U32)) + jnp.sum(src12c) + jnp.sum(src21c))
-        uv = y[:dim_y // 2] ^ jnp.broadcast_to(
-            (s & 0xFF).astype(dtype), (dim_y // 2, dim_x))
+        uvshape = ((t_batch, dim_y // 2, dim_x) if batched
+                   else (dim_y // 2, dim_x))
+        uv = y[..., :dim_y // 2, :] ^ jnp.broadcast_to(
+            (s & 0xFF).astype(dtype), uvshape)
         return y, uv
     outc = _band_call(
         dispC, fscC, fs, lev, fmC, src12c, src21c, cell=cell,
@@ -1046,7 +1068,7 @@ def warp_frame_band(
             None if shard_index is None
             else shard_index * (nb_c // num_shards)),
         n_bands_local=nb_c // num_shards, full_apron=ac,
-        t_batch=t_batch)
+        t_batch=t_batch, unroll=kernel_unroll, force_fast=force_fast)
     pair_dtype = jnp.uint32 if is_hdr else jnp.uint16
     if batched:
         rows_loc_c = outc.shape[0] // t_batch
