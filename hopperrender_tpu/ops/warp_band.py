@@ -206,7 +206,7 @@ def _merge_cells_kernel(
     is_uv: bool, n_par: int, cpt: int, nk: int, xdiv8: int, sdiv8: int,
     res_v: int = RES_V, res_h: int = RES_H,
     row_shift: int = 0, lane_shift: int = 0, slot16: bool = False,
-    batched: bool = False, unroll: int = 1, force_fast: bool = False,
+    batched: bool = False, group_unroll: int = 1, force_fast: bool = False,
 ):
     """Kernel factory. Refs:
       disp_ref  SMEM (1, 8, cpb*cpt*nk/8) int32, flattened per-cell records of
@@ -225,12 +225,23 @@ def _merge_cells_kernel(
       band12/21 VMEM (n_par, band_rows + 2*a_rows + RV, c32_alloc) u32 scratch
       sem       DMA  (2, n_par)
 
-    unroll: group-loop unroll factor. Each (8,128) output group's merge is a
-    LATENCY-BOUND serial dependence chain (window load -> dynamic roll ->
+    group_unroll: group-loop unroll factor. Each (8,128) output group's merge
+    is a LATENCY-BOUND serial dependence chain (window load -> dynamic roll ->
     select stages -> masked merge); adjacent groups are fully independent
-    (distinct out_ref tiles), so unrolling the fori_loop interleaves N chains
+    (distinct out_ref tiles), so unrolling the group loop interleaves N chains
     in the VPU pipeline and converts the latency bound toward the throughput
-    bound. Outputs are bit-identical for any unroll (pure loop scheduling).
+    bound. Outputs are bit-identical for any factor (pure loop scheduling).
+    Unrolled MANUALLY (N group_body calls per fori_loop step + a loop
+    epilogue): Mosaic's fori_loop lowering only supports unroll=1 or a full
+    unroll (chip queue r5: "Only unroll=num_steps and unroll=1 supported").
+    CAVEAT (A/B lever status, not yet a served default): in INTERPRET mode
+    the unrolled program can flip 1-LSB blend/levels results on mode 2
+    (XLA:CPU contracts the blend mul+add into an FMA differently in the
+    unrolled codegen context; modes 0/1 and all integer paths are
+    bit-identical at any factor). optimization_barrier would pin the
+    rounding but does not lower on Mosaic TPU. Before flipping a default,
+    chip-verify digest equality (tpu_band_check with HRT_WARP_UNROLL) —
+    the 1-LSB blend tolerance class per the bit-exactness contract.
 
     force_fast: PROBE-ONLY cost-attribution lever — skip the per-group
     fast/slow cond and always run the fast path. Memory-safe for any input
@@ -493,7 +504,20 @@ def _merge_cells_kernel(
             out_ref[pl.ds(ro, 8), pl.ds(co, 128)] = packed
             return 0
 
-        jax.lax.fori_loop(0, n_groups, group_body, 0, unroll=unroll)
+        if group_unroll <= 1:
+            jax.lax.fori_loop(0, n_groups, group_body, 0)
+        else:
+            main = n_groups // group_unroll
+
+            def unrolled(i, c):
+                for u in range(group_unroll):
+                    group_body(i * group_unroll + u, c)
+                return c
+
+            jax.lax.fori_loop(0, main, unrolled, 0)
+            if main * group_unroll < n_groups:   # loop epilogue (remainder)
+                jax.lax.fori_loop(main * group_unroll, n_groups,
+                                  group_body, 0)
 
     return kernel
 
@@ -539,7 +563,7 @@ def _band_call(disp, fscal, fs, lev, fmap, src12, src21, *, cell,
         is_hdr=is_hdr, is_uv=is_uv, n_par=n_par, cpt=cpt, nk=k, xdiv8=xdiv8,
         sdiv8=sdiv8, res_v=res_v, res_h=res_h,
         row_shift=row_shift, lane_shift=lane_shift, slot16=slot16,
-        batched=batched, unroll=unroll, force_fast=force_fast)
+        batched=batched, group_unroll=unroll, force_fast=force_fast)
     disp = disp.reshape(disp.shape[0], disp.shape[1] * 8, xdiv8)
     # fscal: (n_gr_total, n_tiles, n_sub, 2) -> (nb, nt*8, sdiv8)
     n_sub = tile_w32 // 128
@@ -729,7 +753,8 @@ def pack_band_context(wctx: dict, *, res_scalar: int, is_hdr: bool,
     jax.jit, static_argnames=("res_scalar", "mode", "is_hdr", "dim_y", "dim_x",
                               "apron", "interpret", "vmem_budget",
                               "chain_bounds", "debug_prep_only", "apron_eff",
-                              "num_shards", "kernel_unroll", "force_fast"),
+                              "num_shards", "kernel_unroll", "force_fast",
+                              "debug_y_only"),
 )
 def warp_frame_band(
     wctx12: dict, wctx21: dict,
@@ -742,6 +767,7 @@ def warp_frame_band(
     apron_eff: int | None = None,
     num_shards: int = 1, shard_index=None,
     kernel_unroll: int = 1, force_fast: bool = False,
+    debug_y_only: bool = False,
 ):
     """Pallas twin of warp_strip.warp_frame_strip (identical outputs) for modes
     0/1/2. Consumes the same per-frame warp contexts.
@@ -1031,6 +1057,13 @@ def warp_frame_band(
             y = jax.lax.bitcast_convert_type(
                 outy, jnp.uint16 if slot16 else dtype).reshape(
                 outy.shape[0], -1)[:rows_y_out, :dim_x].astype(dtype)
+
+    if debug_y_only:
+        # Fault-bisection probe (scripts/tpu_warp_decomp.py): run only the Y
+        # band kernel, return a zero UV plane.
+        z = (jnp.zeros((t_batch, dim_y // 2, dim_x), dtype) if batched
+             else jnp.zeros((dim_y // 2, dim_x), dtype))
+        return y, z
 
     # ---- UV plane --------------------------------------------------------------
     min_w32c = (n_tiles_c - 1) * tile_w32c + _round_up(c32c_full, 128)

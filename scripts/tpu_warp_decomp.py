@@ -80,6 +80,12 @@ def main():
     ap.add_argument("--interpret", action="store_true",
                     help="CPU smoke test (interpret-mode kernel; timings"
                          " meaningless)")
+    ap.add_argument("--repro", action="store_true",
+                    help="fault bisection: run single warps (no slope) in"
+                         " order of increasing scope — scalar Y-only, scalar,"
+                         " batched Y-only, batched — printing a line before"
+                         " and after each, so a TPU worker crash pinpoints"
+                         " the faulting configuration (round-5 r5 crashes)")
     args = ap.parse_args()
     cfg = CONFIGS[args.config]
     h, w, is_hdr = cfg["h"], cfg["w"], cfg["is_hdr"]
@@ -150,6 +156,31 @@ def main():
             print(f"# slope non-positive ({ms:.2f}), retry {attempt}",
                   file=sys.stderr)
         return times[k2] / k2 * 1e3
+
+    if args.repro:
+        def once(name, ts_val, fl=None, **kw2):
+            print(json.dumps({"repro": name, "state": "start"}), flush=True)
+            y, uv = warp_band.warp_frame_band(
+                w0, w1, flow0 if fl is None else fl, ts_val,
+                jnp.float32(black), jnp.float32(white),
+                chain_bounds=cb_default, **kw2, **wkw)
+            v = int(jnp.sum(y[..., 0, :8].astype(jnp.uint32)))
+            print(json.dumps({"repro": name, "state": "ok", "sum": v}),
+                  flush=True)
+
+        Tv = (jnp.arange(T, dtype=jnp.float32) + 0.5) / T
+        once("scalar_y_only", jnp.float32(0.375), debug_y_only=True)
+        once("scalar_full", jnp.float32(0.375))
+        once(f"batchT{T}_y_only", Tv, debug_y_only=True)
+        once(f"batchT{T}_full", Tv)
+        once("batchT2_full", jnp.asarray([0.25, 0.75], jnp.float32))
+        # The served shape: repeated dispatches of the same executable with
+        # slightly varying flow (the streamed crash was on frame 3+, not the
+        # first call).
+        for i in range(8):
+            once(f"batchT{T}_repeat{i}", Tv, fl=flow0 + np.int16(i % 3))
+        print(json.dumps({"repro": "ALL_PASSED"}), flush=True)
+        return
 
     def warp_call(fl, ts, blk, *, prep=False, unroll=1, ff=False, cb=None):
         y, uv = warp_band.warp_frame_band(
