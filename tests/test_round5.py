@@ -1,0 +1,101 @@
+"""Round-5: band-kernel scheduling levers (group-loop unroll, force-fast) and
+probe modes. Contract: group unrolling is pure loop scheduling — INTEGER paths
+(modes 0/1, all table/merge work) are bit-identical at any factor; the mode-2
+float blend carries the repo's 1-LSB blend tolerance class ONLY under
+interpret-mode codegen-context FMA contraction (warp_band._merge_cells_kernel
+docstring), so the strict tests here pin integer modes and
+exactly-representable blend scalars."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from hopperrender_tpu.ops import warp_band, warp_strip
+
+from conftest import make_frame
+
+
+def _build(rng, h, w, rs, is_hdr, apron, mag):
+    y1, uv1 = make_frame(rng, h, w, is_hdr)
+    y2, uv2 = make_frame(rng, h, w, is_hdr)
+    flow = rng.integers(-mag, mag + 1, (2, h >> rs, w >> rs)).astype(np.int16)
+    c1 = warp_strip.build_warp_context(jnp.asarray(y1), jnp.asarray(uv1),
+                                       apron=apron, is_hdr=is_hdr)
+    c2 = warp_strip.build_warp_context(jnp.asarray(y2), jnp.asarray(uv2),
+                                       apron=apron, is_hdr=is_hdr)
+    return c1, c2, jnp.asarray(flow)
+
+
+KW = dict(res_scalar=2, is_hdr=False, dim_y=64, dim_x=128, apron=32,
+          interpret=True)
+
+
+@pytest.mark.parametrize("mode", [0, 1])
+@pytest.mark.parametrize("unroll", [3])
+def test_group_unroll_integer_modes_bit_exact(rng, mode, unroll):
+    """Modes 0/1 (no float blend): strictly identical at any unroll factor,
+    batched — unroll 3 exercises the loop epilogue (n_groups % 3 != 0)."""
+    c1, c2, flow = _build(rng, 64, 128, 2, False, 32, 10)
+    ts = jnp.asarray([0.25, 0.5, 0.75], jnp.float32)
+    base = warp_band.warp_frame_band(
+        c1, c2, flow, ts, jnp.float32(1.0), jnp.float32(254.0),
+        mode=mode, **KW)
+    un = warp_band.warp_frame_band(
+        c1, c2, flow, ts, jnp.float32(1.0), jnp.float32(254.0),
+        mode=mode, kernel_unroll=unroll, **KW)
+    np.testing.assert_array_equal(np.asarray(base[0]), np.asarray(un[0]))
+    np.testing.assert_array_equal(np.asarray(base[1]), np.asarray(un[1]))
+
+
+def test_group_unroll_mode2_exact_blend_scalars(rng):
+    """Mode 2 with t=0.5 (fs12 == fs21 == 0.5: products round exactly, so no
+    contraction ambiguity exists): strictly identical at any factor."""
+    c1, c2, flow = _build(rng, 64, 128, 2, False, 32, 10)
+    ts = jnp.asarray([0.5, 0.5], jnp.float32)
+    base = warp_band.warp_frame_band(
+        c1, c2, flow, ts, jnp.float32(1.0), jnp.float32(255.0), mode=2, **KW)
+    un = warp_band.warp_frame_band(
+        c1, c2, flow, ts, jnp.float32(1.0), jnp.float32(255.0), mode=2,
+        kernel_unroll=4, **KW)
+    np.testing.assert_array_equal(np.asarray(base[0]), np.asarray(un[0]))
+    np.testing.assert_array_equal(np.asarray(base[1]), np.asarray(un[1]))
+
+
+def test_force_fast_matches_on_certifying_flow(rng):
+    """Uniform flow certifies every subtile -> force_fast (cond skipped) is
+    bit-identical to the cond kernel."""
+    c1, c2, _ = _build(rng, 64, 128, 2, False, 32, 2)
+    flow = jnp.full((2, 16, 32), 2, jnp.int16)
+    a = warp_band.warp_frame_band(
+        c1, c2, flow, jnp.float32(0.5), jnp.float32(0.0), jnp.float32(255.0),
+        mode=2, **KW)
+    f = warp_band.warp_frame_band(
+        c1, c2, flow, jnp.float32(0.5), jnp.float32(0.0), jnp.float32(255.0),
+        mode=2, force_fast=True, **KW)
+    np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(f[0]))
+    np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(f[1]))
+
+
+def test_debug_y_only_returns_zero_uv(rng):
+    c1, c2, flow = _build(rng, 64, 128, 2, False, 32, 10)
+    ts = jnp.asarray([0.25, 0.75], jnp.float32)
+    full = warp_band.warp_frame_band(
+        c1, c2, flow, ts, jnp.float32(1.0), jnp.float32(254.0), mode=2, **KW)
+    y, uv = warp_band.warp_frame_band(
+        c1, c2, flow, ts, jnp.float32(1.0), jnp.float32(254.0), mode=2,
+        debug_y_only=True, **KW)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(full[0]))
+    assert uv.shape == (2, 32, 128) and not np.asarray(uv).any()
+
+
+def test_batched_debug_prep_only_shapes(rng):
+    """Batched prep-only accounting (tpu_warp_decomp): full vmapped table
+    build + fold runs, kernel skipped, batched output contract kept."""
+    c1, c2, flow = _build(rng, 64, 128, 2, False, 32, 10)
+    ts = jnp.asarray([0.2, 0.5, 0.8], jnp.float32)
+    y, uv = warp_band.warp_frame_band(
+        c1, c2, flow, ts, jnp.float32(1.0), jnp.float32(254.0), mode=2,
+        debug_prep_only=True, **KW)
+    assert y.shape == (3, 64, 128)
+    assert uv.shape == (3, 32, 128)
