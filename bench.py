@@ -225,18 +225,26 @@ def main() -> None:
             # fixed point, exactly what the streaming engine converges to
             # after 1-2 frames of this content.
             plan = engine.settle_plan(f1y[0], f1uv[0], f2y[0], f2uv[0])
-            # Warp apron tier: certify for the flow the WARP CHAIN feeds
-            # (flow_prev drifts by up to +k2 across chain iterations), not
-            # the pyramid's settled flow — the chain's bound is what must
-            # cover the band DMA windows. On pan content both pick the same
-            # 32-px tier the served engine uses.
-            bound_chain = int(np.abs(flow_np).max()) + args.k2
+            # Certified flow bound: the SERVED bound is the content's maxabs
+            # (the sig the engine fetches carries no chain drift). The warp
+            # chain's +k2 salt drift is UNIFORM, so it preserves in-subtile
+            # spread — the chain-bounds variant the bound selects
+            # (engine._band_plan) must match what serving picks, else the
+            # bench prices the wrong kernel: +k2 inflation made pan (bound
+            # 2->5) measure the (32,32) chains serving never runs, and noise
+            # |12| (bound->15, 2*15+8=38>32) measure (16,16) slow-path storms
+            # where serving certifies (32,32) — round-5 queue #1. Safety is
+            # unaffected: apron tiers default OFF, and every bucket's full
+            # apron covers the +k2-drifted displacement.
+            bound_chain = int(np.abs(flow_np).max())
             if args.apron == "full":
                 bound_chain = None   # pick_apron(None) -> full bucket apron
             elif args.apron != "auto":
                 # Numeric tier A/B: opt in to tier selection (the engine
                 # default is full apron — chip-measured faster, round 4).
+                # Tiered DMA windows must cover the chain's +k2 drift.
                 os.environ["HRT_APRON_TIERS"] = "1"
+                assert int(args.apron) >= int(np.abs(flow_np).max()) + args.k2
                 bound_chain = int(args.apron)  # smallest tier >= bound = N
             engine._flow_bounds = [bound_chain, bound_chain]
             if not args.json_only:

@@ -117,7 +117,9 @@ def main():
         apron = engine._apron
         rs = engine.res_scalar
         low_h, low_w = engine.low_h, engine.low_w
-        bound = int(2) + args.k2
+        # Served bound = the content's maxabs (pan flow (2,0)): picks the
+        # (16,16) chains serving runs on this content (see bench.py).
+        bound = 2
         cb_default = engine._band_plan(bound, apron)
         apron_eff = engine.warp_apron_used
         w0 = engine._build_wctx(y1, uv1)
@@ -253,6 +255,8 @@ def main():
     emit(f"kernT{T}_ff_unroll4", ms, per_output_ms=round(ms / T, 3))
     ms = slope_ms(lev_salted_chain(T, cb=(8, 8)))
     emit(f"kernT{T}_chains8", ms, per_output_ms=round(ms / T, 3))
+    ms = slope_ms(lev_salted_chain(T, cb=(32, 32)))
+    emit(f"kernT{T}_chains32", ms, per_output_ms=round(ms / T, 3))
     # Full-path (tables + kernel) at the best-guess variant, for the bench
     # operating-point projection.
     ms = slope_ms(flow_salted_chain(T, unroll=4))
