@@ -80,6 +80,11 @@ def main():
     ap.add_argument("--interpret", action="store_true",
                     help="CPU smoke test (interpret-mode kernel; timings"
                          " meaningless)")
+    ap.add_argument("--chains", type=int, default=0,
+                    help="force chain bounds (N, N) instead of the served"
+                         " plan's choice — the r5 crash bisection axis: all"
+                         " crashing configs ran (32,32), the passing repro"
+                         " ran (16,16)")
     ap.add_argument("--repro", action="store_true",
                     help="fault bisection: run single warps (no slope) in"
                          " order of increasing scope — scalar Y-only, scalar,"
@@ -121,6 +126,8 @@ def main():
         # (16,16) chains serving runs on this content (see bench.py).
         bound = 2
         cb_default = engine._band_plan(bound, apron)
+        if args.chains:
+            cb_default = (args.chains, args.chains)
         apron_eff = engine.warp_apron_used
         w0 = engine._build_wctx(y1, uv1)
         w1 = engine._build_wctx(y2, uv2)
@@ -181,6 +188,28 @@ def main():
         # first call).
         for i in range(8):
             once(f"batchT{T}_repeat{i}", Tv, fl=flow0 + np.int16(i % 3))
+
+        # The bench's exact crash shape: k batched warps CHAINED inside one
+        # jitted program (tables rebuilt per iteration from a drifting flow).
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def chain(salt, *, k):
+            acc = jnp.uint32(salt)
+            fl = flow0
+            for _ in range(k):
+                fl = fl + (acc % 2).astype(jnp.int16)
+                y, uv = warp_band.warp_frame_band(
+                    w0, w1, fl, Tv, jnp.float32(black), jnp.float32(white),
+                    chain_bounds=cb_default, **wkw)
+                acc = jax.lax.optimization_barrier(
+                    acc + jnp.sum(y[..., 0, :8].astype(jnp.uint32)))
+            return acc
+
+        for k in (1, 3):
+            print(json.dumps({"repro": f"chain_k{k}", "state": "start"}),
+                  flush=True)
+            v = int(chain(7, k=k))
+            print(json.dumps({"repro": f"chain_k{k}", "state": "ok",
+                              "sum": v}), flush=True)
         print(json.dumps({"repro": "ALL_PASSED"}), flush=True)
         return
 
