@@ -754,7 +754,7 @@ def pack_band_context(wctx: dict, *, res_scalar: int, is_hdr: bool,
                               "apron", "interpret", "vmem_budget",
                               "chain_bounds", "debug_prep_only", "apron_eff",
                               "num_shards", "kernel_unroll", "force_fast",
-                              "debug_y_only"),
+                              "debug_y_only", "debug_uv_only"),
 )
 def warp_frame_band(
     wctx12: dict, wctx21: dict,
@@ -767,7 +767,7 @@ def warp_frame_band(
     apron_eff: int | None = None,
     num_shards: int = 1, shard_index=None,
     kernel_unroll: int = 1, force_fast: bool = False,
-    debug_y_only: bool = False,
+    debug_y_only: bool = False, debug_uv_only: bool = False,
 ):
     """Pallas twin of warp_strip.warp_frame_strip (identical outputs) for modes
     0/1/2. Consumes the same per-frame warp contexts.
@@ -1025,7 +1025,12 @@ def warp_frame_band(
 
     src12y = y_src(wctx12)
     src21y = y_src(wctx21)
-    if debug_prep_only:
+    if debug_uv_only:
+        # Fault-bisection probe: skip the Y band kernel (tables still build —
+        # they are XLA-side), run only the UV kernel below.
+        yshape = (t_batch, dim_y, dim_x) if batched else (dim_y, dim_x)
+        y = jnp.zeros(yshape, dtype)
+    elif debug_prep_only:
         # Cost-attribution probe (scripts/tpu_warp_bench.py bandprep /
         # tpu_warp_decomp.py): force every XLA-side table/packing computation
         # (incl. the batched vmapped build + fold), skip the Pallas call.

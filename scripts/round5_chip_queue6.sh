@@ -1,7 +1,9 @@
 #!/bin/bash
-# Round-5 chip queue #6: r5-fault bisection round 2 — the (32,32)-chains axis
-# (all crashing configs ran (32,32); the (16,16) repro passed everything,
-# including the bench's exact chain shape). Waits for queue #5.
+# Round-5 chip queue #6 (v2): r5-fault UV bisection. Queue-3 narrowed the
+# crash to the bucket-5 BATCHED warp at T=3 (T=2 all-passed incl. repeats
+# and the bench chain shape; T=3 Y-only passed; T=3 full crashed) — this
+# sweep isolates plane x batch size, plus the same sweep at r8 (control:
+# fps120 ran T=5 at r8 clean) and 4k-sdr r5 (geometry axis).
 set -u
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
@@ -18,6 +20,7 @@ run() {
   local rc=$?
   note "DONE  $name rc=$rc $(( $(date +%s) - t0 ))s: $(tail -n 3 /tmp/r5q6_${name}.json 2>/dev/null | head -c 400)"
 }
-run r5_chains32      python scripts/tpu_warp_decomp.py --radius 5 --t-batch 2 --repro --chains 32
-run r8_chains32      python scripts/tpu_warp_decomp.py --radius 8 --t-batch 2 --repro --chains 32
+run r5_sweep       python scripts/tpu_warp_decomp.py --radius 5 --repro
+run r5_sweep_sdr   python scripts/tpu_warp_decomp.py --config 4k-sdr --radius 5 --repro
+run r8_sweep       python scripts/tpu_warp_decomp.py --radius 8 --repro
 note "QUEUE6 DONE"

@@ -179,10 +179,15 @@ def main():
 
         Tv = (jnp.arange(T, dtype=jnp.float32) + 0.5) / T
         once("scalar_y_only", jnp.float32(0.375), debug_y_only=True)
+        once("scalar_uv_only", jnp.float32(0.375), debug_uv_only=True)
         once("scalar_full", jnp.float32(0.375))
-        once(f"batchT{T}_y_only", Tv, debug_y_only=True)
-        once(f"batchT{T}_full", Tv)
-        once("batchT2_full", jnp.asarray([0.25, 0.75], jnp.float32))
+        # Plane x batch-size sweep (queue-3 bisection: r5 T=2 all-passed,
+        # T=3 Y-only passed, T=3 full CRASHED -> suspect = UV kernel, T>=3).
+        for tb in (2, 3, 4, 5):
+            tv = (jnp.arange(tb, dtype=jnp.float32) + 0.5) / tb
+            once(f"batchT{tb}_y_only", tv, debug_y_only=True)
+            once(f"batchT{tb}_uv_only", tv, debug_uv_only=True)
+            once(f"batchT{tb}_full", tv)
         # The served shape: repeated dispatches of the same executable with
         # slightly varying flow (the streamed crash was on frame 3+, not the
         # first call).
