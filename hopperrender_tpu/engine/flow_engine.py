@@ -564,9 +564,23 @@ class OpticalFlowEngine:
             self.warp_apron_used = warp_band.pick_apron(flow_bound, apron)
         else:
             self.warp_apron_used = apron
+        # Chain length is a FIRST-ORDER kernel cost (round-5 chip
+        # decomposition: 6.0 ms/output at (16,16) vs 13.4 at (32,32), 4K HDR
+        # r16) — so (32,32) is worth paying ONLY when the content is actually
+        # scattered, i.e. the in-subtile spread would fail the (16,16)
+        # certificate and storm the per-cell slow path. maxabs(flow) alone
+        # over-triggers: converged-but-moving content (bound 5-12, e.g. a
+        # 10 px/frame pan) has near-zero spread. The host's scatter signal is
+        # the settled tier plan: an all-UNIFORM plan means the pyramid sees
+        # one dominant offset per window — spread ~0 — so keep (16,16); any
+        # M/V/G step means real dispersion. Mispredicts are safe: uncertified
+        # subtiles ride the bit-exact slow path.
         cb = (16, 16)
         if flow_bound is not None and 16 < 2 * flow_bound + 8 <= 32:
-            cb = (32, 32)
+            plan = self._plans.get(self._plan_key()) \
+                if self.use_strips and self.tier_mode == "planned" else None
+            if plan is None or any(s != "U" for s in plan):
+                cb = (32, 32)
         self.warp_chain_bounds = cb
         return cb
 

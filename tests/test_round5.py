@@ -89,6 +89,29 @@ def test_debug_y_only_returns_zero_uv(rng):
     assert uv.shape == (2, 32, 128) and not np.asarray(uv).any()
 
 
+def test_band_plan_chain_bounds_use_plan_scatter_signal():
+    """(32,32) chains cost ~2x kernel time (round-5 chip decomposition), so
+    the mid-range bound (4, 12] picks them ONLY when the settled tier plan
+    shows real dispersion (any non-U step); an all-uniform plan (converged
+    content, spread ~0) keeps (16,16) at any bound."""
+    from hopperrender_tpu.engine.flow_engine import OpticalFlowEngine
+
+    eng = OpticalFlowEngine(544, 960, is_hdr=False)
+    key = eng._plan_key()
+    # converged: all-uniform plan -> (16,16) even at a mid-range bound
+    eng._plans[key] = ("U",) * 16
+    assert eng._band_plan(8, eng._apron) == (16, 16)
+    # scattered: V steps present -> (32,32) in the certifiable mid-range
+    eng._plans[key] = ("U",) * 12 + ("V0",) * 4
+    assert eng._band_plan(8, eng._apron) == (32, 32)
+    # out of the certifiable range either way
+    assert eng._band_plan(13, eng._apron) == (16, 16)
+    assert eng._band_plan(2, eng._apron) == (16, 16)
+    # no settled plan: conservative (32,32) in the mid-range
+    del eng._plans[key]
+    assert eng._band_plan(8, eng._apron) == (32, 32)
+
+
 def test_batched_debug_prep_only_shapes(rng):
     """Batched prep-only accounting (tpu_warp_decomp): full vmapped table
     build + fold runs, kernel skipped, batched output contract kept."""
