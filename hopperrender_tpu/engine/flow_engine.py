@@ -54,6 +54,14 @@ def _band_rs_enabled(res_scalar: int) -> bool:
     return res_scalar >= 1
 
 
+def warp_uniform_tier() -> bool:
+    """Uniform-subtile kernel tier (warp_band fscal bit 30): spread-0
+    subtiles realign with 2 rolls instead of select chains — the dominant
+    kernel cost on converged content (round-5 decomposition). Bit-exact
+    (exact per-subtile certificate). HRT_UNIFORM_TIER=0 opts out for A/Bs."""
+    return os.environ.get("HRT_UNIFORM_TIER", "1") != "0"
+
+
 def warp_kernel_unroll() -> int:
     """Band-kernel group-loop unroll factor (warp_band kernel_unroll). Each
     (8,128) output group is a latency-bound serial chain; adjacent groups are
@@ -637,6 +645,7 @@ class OpticalFlowEngine:
                 apron_eff=self.warp_apron_used, chain_bounds=cb,
                 interpret=self._band_interpret,
                 kernel_unroll=warp_kernel_unroll(),
+                uniform_tier=warp_uniform_tier(),
             )
         if self.use_warp_strips and mode in (0, 1, 2) and wctx0 is not None:
             return warp_strip.warp_frame_strip(
@@ -684,7 +693,8 @@ class OpticalFlowEngine:
             dim_y=self.h, dim_x=self.w, apron=apron,
             apron_eff=self.warp_apron_used, chain_bounds=cb,
             interpret=self._band_interpret,
-            kernel_unroll=warp_kernel_unroll())
+            kernel_unroll=warp_kernel_unroll(),
+            uniform_tier=warp_uniform_tier())
 
     def warp_frames_batch(self, blending_scalars, frame_output_mode: int):
         """All of one source interval's outputs in ONE dispatch: a single

@@ -143,8 +143,16 @@ def _fast_tables(r, p, q, *, cell: int, per32: int, cb: int, cps: int,
       fmap  (n_cellrows, n_tiles*tile_w32) i32 per-lane packed residuals:
             dyr | xr<<5 | sub<<10 | q<<15
       fscal (n_subtiles_rows, n_tiles, n_sub) i32 packed per-subtile scalars:
-            rab/8 | bl/128 <<9 | ramt<<16 | ok<<31
-    """
+            rab/8 | bl/128 <<9 | ramt<<16
+            | dyr_u<<24 | sub_u<<27 | q_u<<29 | uni<<30 | ok<<31
+    uni (bit 30): the UNIFORM-subtile certificate — every cell in the group
+    shares one displacement (row, lane, sub-element slot, and parity plane),
+    so the whole (8,128) subtile is a pure 2D shift of the source window:
+    the kernel realigns it with ONE row roll + ONE lane roll instead of the
+    res_v + res_h select chains (the dominant kernel cost on converged
+    content, round-5 chip decomposition). dyr_u/sub_u/q_u are the uniform
+    residuals (xr_u is 0 by construction: the lane roll lands min_u at 0).
+    uni implies ok."""
     n_cr, n_cc = r.shape
     sub_per = 8 // cell
     n_sub = cpt // cps
@@ -164,6 +172,8 @@ def _fast_tables(r, p, q, *, cell: int, per32: int, cb: int, cps: int,
     n_gr = n_cr // sub_per
     r_g = r.reshape(n_gr, sub_per, n_tiles, n_sub, cps)
     u_g = u.reshape(n_gr, sub_per, n_tiles, n_sub, cps)
+    s_g = sub.reshape(n_gr, sub_per, n_tiles, n_sub, cps)
+    q_g = q.reshape(n_gr, sub_per, n_tiles, n_sub, cps)
     min_r = r_g.min(axis=(1, 4))               # (n_gr, n_tiles, n_sub)
     max_r = r_g.max(axis=(1, 4))
     min_u = u_g.min(axis=(1, 4))
@@ -177,12 +187,23 @@ def _fast_tables(r, p, q, *, cell: int, per32: int, cb: int, cps: int,
     # Row window bound: the kernel loads at cr8*8 + rab for RV rows; the band
     # scratch has band_rows + 2a + RV rows, and rab <= 2a, cr8*8 <= band_rows-8.
     ok = ok_v & ok_h
+    # Uniform-subtile certificate: one displacement for every cell of the
+    # group (rows, lanes, sub-element slot, parity plane) — the subtile is a
+    # pure 2D shift, kernel-realigned with 2 rolls instead of select chains.
+    uni = (ok & (max_r == min_r) & (max_u == min_u)
+           & (s_g.max(axis=(1, 4)) == s_g.min(axis=(1, 4)))
+           & (q_g.max(axis=(1, 4)) == q_g.min(axis=(1, 4))))
+    dyr_u = (min_r - rab) & 7
+    sub_u = s_g.min(axis=(1, 4)) & 3
+    q_u = q_g.min(axis=(1, 4)) & 1
     # Mask each packed field to its read width and zero the whole record when
     # not ok: an out-of-range field (e.g. negative ramt if the displacement
     # bound were ever violated) must not be able to reach bit 31, which the
     # kernel reads as the fast-path certificate (scal < 0).
     packed = (((rab >> 3) & 0x1FF) | (((bl >> 7) & 0x7F) << 9)
-              | ((ramt & 0xFF) << 16))
+              | ((ramt & 0xFF) << 16)
+              | (dyr_u << 24) | (sub_u << 27) | (q_u << 29)
+              | jnp.where(uni, jnp.int32(1) << 30, 0))
     fscal = jnp.where(ok, packed | (jnp.int32(1) << 31), 0)
 
     # Per-lane residual map (clips only pad safety: out-of-bound residuals
@@ -207,6 +228,7 @@ def _merge_cells_kernel(
     res_v: int = RES_V, res_h: int = RES_H,
     row_shift: int = 0, lane_shift: int = 0, slot16: bool = False,
     batched: bool = False, group_unroll: int = 1, force_fast: bool = False,
+    uniform_tier: bool = True,
 ):
     """Kernel factory. Refs:
       disp_ref  SMEM (1, 8, cpb*cpt*nk/8) int32, flattened per-cell records of
@@ -248,6 +270,14 @@ def _merge_cells_kernel(
     (fscal fields are zeroed when not certified, so loads stay in bounds) but
     output-correct ONLY when every subtile certifies fast; prices the
     per-group branch for A/Bs (scripts/tpu_warp_decomp.py).
+
+    uniform_tier: enable the UNIFORM-subtile path (fscal bit 30): subtiles
+    whose cells all share one displacement realign with 2 rolls instead of
+    the res_v + res_h select chains — the dominant kernel cost on converged
+    content (round-5 chip decomposition: the chains are ~all of the 6
+    ms/output kernel term at 4K HDR). Bit-exact (the certificate is exact,
+    computed per subtile in the table build); False keeps the two-tier
+    kernel for A/Bs.
 
     batched: per-pair BATCHED grid (warp_frame_band with a (T,) blending-scalar
     vector). The grid gains a t_batch axis as its INNERMOST dimension —
@@ -387,6 +417,33 @@ def _merge_cells_kernel(
             return jax.lax.fori_loop(
                 0, (sub_per * cps) // unroll, body, (zero, zero))
 
+        def uniform_source(band, scal, cr8):
+            """UNIFORM PATH for one source: the whole (8,128) subtile shares
+            one displacement (fscal bit 30 certifies), so the realign is ONE
+            dynamic row roll + ONE dynamic lane roll of a (16, WW) window —
+            no select chains. Residuals ride the scal word (dyr_u/sub_u/q_u;
+            xr_u = 0 by construction)."""
+            rab = (scal & 0x1FF) << 3
+            bl = pl.multiple_of(jnp.clip(((scal >> 9) & 0x7F) << 7, 0,
+                                         c32_alloc - WW), 128)
+            ramt = (scal >> 16) & 0xFF
+            dyr = (scal >> 24) & 7
+            sub = ((scal >> 27) & 3).astype(U32)
+            ro = pl.multiple_of(jnp.clip(cr8 * 8 + rab, 0, rows - 8), 8)
+            if n_par > 1:
+                qu = (scal >> 29) & 1
+                w = band[qu, pl.ds(ro, 16), pl.ds(bl, WW)]
+            else:
+                w = band[0, pl.ds(ro, 16), pl.ds(bl, WW)]
+            w = pltpu.roll(w, (16 - dyr) & 15, axis=0)[:8]
+            w = pltpu.roll(w, jnp.remainder(-ramt, WW), axis=1)
+            if per32 > 1:
+                wm1 = pltpu.roll(w, WW - 1, axis=1)  # wm1[i] = w[i+1]
+                sh = U32(fbits) * sub
+                sh2 = (U32(32) - sh) & U32(31)
+                w = jnp.where(sub == 0, w, (w >> sh) | (wm1 << sh2))
+            return w[:, :128]
+
         def fast_source(band, si, scal, cr8, g):
             """FAST PATH for one source: select-chain realign of the whole
             (8,128) subtile. scal packs rab/bl/ramt (bounds pre-certified by
@@ -461,10 +518,13 @@ def _merge_cells_kernel(
             s12 = scal_at(0)
             s21 = scal_at(1)
             ok = jnp.bool_(True)
+            uni = jnp.bool_(True)
             if mode != 1:
                 ok = ok & (s12 < 0)       # bit31 = ok flag
+                uni = uni & (((s12 >> 30) & 1) == 1)   # bit30 = uniform
             if mode != 0:
                 ok = ok & (s21 < 0)
+                uni = uni & (((s21 >> 30) & 1) == 1)
 
             def fast():
                 a12 = fast_source(band12, 0, s12, cr8, g) \
@@ -473,8 +533,20 @@ def _merge_cells_kernel(
                     if mode != 0 else jnp.zeros((8, 128), U32)
                 return a12, a21
 
+            def uniform():
+                a12 = uniform_source(band12, s12, cr8) \
+                    if mode != 1 else jnp.zeros((8, 128), U32)
+                a21 = uniform_source(band21, s21, cr8) \
+                    if mode != 0 else jnp.zeros((8, 128), U32)
+                return a12, a21
+
             if force_fast:
                 acc12, acc21 = fast()
+            elif uniform_tier:
+                acc12, acc21 = jax.lax.cond(
+                    uni, uniform,
+                    lambda: jax.lax.cond(ok, fast,
+                                         lambda: slow_group(gi, cr8, g)))
             else:
                 acc12, acc21 = jax.lax.cond(
                     ok, fast, lambda: slow_group(gi, cr8, g))
@@ -528,7 +600,7 @@ def _band_call(disp, fscal, fs, lev, fmap, src12, src21, *, cell,
                res_v=RES_V, res_h=RES_H, row_shift=0, lane_shift=0,
                slot16=False, n_bands=None, band_start=None,
                n_bands_local=None, full_apron=None, t_batch=1,
-               unroll=1, force_fast=False):
+               unroll=1, force_fast=False, uniform_tier=True):
     """band_start / n_bands_local: mesh row-band sharding (parallel/mesh.py).
     The per-band operands (disp, fscal, fmap) and the packed sources are
     sliced to this shard's contiguous run of bands BEFORE the pallas_call, so
@@ -563,7 +635,8 @@ def _band_call(disp, fscal, fs, lev, fmap, src12, src21, *, cell,
         is_hdr=is_hdr, is_uv=is_uv, n_par=n_par, cpt=cpt, nk=k, xdiv8=xdiv8,
         sdiv8=sdiv8, res_v=res_v, res_h=res_h,
         row_shift=row_shift, lane_shift=lane_shift, slot16=slot16,
-        batched=batched, group_unroll=unroll, force_fast=force_fast)
+        batched=batched, group_unroll=unroll, force_fast=force_fast,
+        uniform_tier=uniform_tier)
     disp = disp.reshape(disp.shape[0], disp.shape[1] * 8, xdiv8)
     # fscal: (n_gr_total, n_tiles, n_sub, 2) -> (nb, nt*8, sdiv8)
     n_sub = tile_w32 // 128
@@ -754,7 +827,8 @@ def pack_band_context(wctx: dict, *, res_scalar: int, is_hdr: bool,
                               "apron", "interpret", "vmem_budget",
                               "chain_bounds", "debug_prep_only", "apron_eff",
                               "num_shards", "kernel_unroll", "force_fast",
-                              "debug_y_only", "debug_uv_only"),
+                              "uniform_tier", "debug_y_only",
+                              "debug_uv_only"),
 )
 def warp_frame_band(
     wctx12: dict, wctx21: dict,
@@ -767,6 +841,7 @@ def warp_frame_band(
     apron_eff: int | None = None,
     num_shards: int = 1, shard_index=None,
     kernel_unroll: int = 1, force_fast: bool = False,
+    uniform_tier: bool = True,
     debug_y_only: bool = False, debug_uv_only: bool = False,
 ):
     """Pallas twin of warp_strip.warp_frame_strip (identical outputs) for modes
@@ -1050,7 +1125,8 @@ def warp_frame_band(
                 None if shard_index is None
                 else shard_index * (nb_y // num_shards)),
             n_bands_local=nb_y // num_shards, full_apron=a,
-            t_batch=t_batch, unroll=kernel_unroll, force_fast=force_fast)
+            t_batch=t_batch, unroll=kernel_unroll, force_fast=force_fast,
+            uniform_tier=uniform_tier)
         if batched:
             rows_loc = outy.shape[0] // t_batch
             rows_y_out = dim_y if shard_index is None else rows_loc
@@ -1106,7 +1182,8 @@ def warp_frame_band(
             None if shard_index is None
             else shard_index * (nb_c // num_shards)),
         n_bands_local=nb_c // num_shards, full_apron=ac,
-        t_batch=t_batch, unroll=kernel_unroll, force_fast=force_fast)
+        t_batch=t_batch, unroll=kernel_unroll, force_fast=force_fast,
+            uniform_tier=uniform_tier)
     pair_dtype = jnp.uint32 if is_hdr else jnp.uint16
     if batched:
         rows_loc_c = outc.shape[0] // t_batch

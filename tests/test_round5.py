@@ -112,6 +112,76 @@ def test_band_plan_chain_bounds_use_plan_scatter_signal():
     assert eng._band_plan(8, eng._apron) == (32, 32)
 
 
+@pytest.mark.parametrize("is_hdr,rs,mag", [
+    (False, 2, None), (True, 3, None),   # None = uniform flow (tier target)
+    (False, 2, 10), (True, 3, 25),       # scattered (tier must not engage)
+])
+def test_uniform_tier_bit_exact(rng, is_hdr, rs, mag):
+    """The uniform-subtile tier (fscal bit 30: 2-roll realign instead of
+    select chains) is bit-exact vs both the strip oracle and the two-tier
+    kernel, on the content it targets (uniform flow) and on content it must
+    leave alone (scattered)."""
+    h, w, apron = 64, 128, 32
+    low_h, low_w = h >> rs, w >> rs
+    y1, uv1 = make_frame(rng, h, w, is_hdr)
+    y2, uv2 = make_frame(rng, h, w, is_hdr)
+    if mag is None:
+        flow = np.full((2, low_h, low_w), 3, np.int16)
+    else:
+        flow = rng.integers(-mag, mag + 1, (2, low_h, low_w)).astype(np.int16)
+    c1 = warp_strip.build_warp_context(jnp.asarray(y1), jnp.asarray(uv1),
+                                       apron=apron, is_hdr=is_hdr)
+    c2 = warp_strip.build_warp_context(jnp.asarray(y2), jnp.asarray(uv2),
+                                       apron=apron, is_hdr=is_hdr)
+    flow = jnp.asarray(flow)
+    black = 16.0 * (256 if is_hdr else 1)
+    white = 235.0 * (256 if is_hdr else 1)
+    ys, uvs = warp_strip.warp_frame_strip(
+        c1, c2, flow, jnp.float32(0.375), jnp.float32(black),
+        jnp.float32(white), res_scalar=rs, mode=2, is_hdr=is_hdr,
+        dim_y=h, dim_x=w, apron=apron)
+    kw = dict(res_scalar=rs, mode=2, is_hdr=is_hdr, dim_y=h, dim_x=w,
+              apron=apron, interpret=True)
+    for tier in (True, False):
+        yb, uvb = warp_band.warp_frame_band(
+            c1, c2, flow, jnp.float32(0.375), jnp.float32(black),
+            jnp.float32(white), uniform_tier=tier, **kw)
+        np.testing.assert_array_equal(np.asarray(yb), np.asarray(ys))
+        np.testing.assert_array_equal(np.asarray(uvb), np.asarray(uvs))
+
+
+def test_uniform_certificate_engagement(rng, monkeypatch):
+    """Uniform flow certifies every subtile (bit 30); scattered flow none —
+    the tier's routing signal, spied at the table build."""
+    h, w, rs, apron = 64, 128, 2, 32
+    low_h, low_w = h >> rs, w >> rs
+    y1, uv1 = make_frame(rng, h, w, False)
+    c1 = warp_strip.build_warp_context(jnp.asarray(y1), jnp.asarray(uv1),
+                                       apron=apron, is_hdr=False)
+    caps = []
+    orig = warp_band._fast_tables
+
+    def spy(*a, **k):
+        fm, fsc = orig(*a, **k)
+        caps.append(np.asarray(fsc))
+        return fm, fsc
+
+    monkeypatch.setattr(warp_band, "_fast_tables", spy)
+    f = warp_band.warp_frame_band.__wrapped__   # unjitted: concrete spy values
+    for flow_np, expect in ((np.full((2, low_h, low_w), 3, np.int16), 1.0),
+                            (rng.integers(-10, 11, (2, low_h, low_w))
+                             .astype(np.int16), 0.0)):
+        caps.clear()
+        y, _ = f(c1, c1, jnp.asarray(flow_np), jnp.float32(0.375),
+                 jnp.float32(0.0), jnp.float32(255.0),
+                 res_scalar=rs, mode=2, is_hdr=False, dim_y=h, dim_x=w,
+                 apron=apron, interpret=True)
+        np.asarray(y)
+        a = np.concatenate([c.ravel() for c in caps])
+        uni_rate = (((a >> 30) & 1) == 1).mean()
+        assert uni_rate == expect, (uni_rate, expect)
+
+
 def test_batched_debug_prep_only_shapes(rng):
     """Batched prep-only accounting (tpu_warp_decomp): full vmapped table
     build + fold runs, kernel skipped, batched output contract kept."""
