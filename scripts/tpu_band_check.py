@@ -31,6 +31,10 @@ def main():
     if "smooth" in sys.argv:   # fast-path coverage: near-constant flow
         flow = (np.array([9, -13], np.int16)[:, None, None]
                 + rng.integers(-1, 2, (2, low_h, low_w)).astype(np.int16))
+    if "uniform" in sys.argv:  # round-5 uniform-tier coverage: exactly
+        # constant flow certifies EVERY subtile through the 2-roll path
+        flow = np.broadcast_to(np.array([9, -13], np.int16)[:, None, None],
+                               (2, low_h, low_w)).copy()
     c1 = warp_strip.build_warp_context(jnp.asarray(y1), jnp.asarray(uv1), apron=apron, is_hdr=is_hdr)
     c2 = warp_strip.build_warp_context(jnp.asarray(y2), jnp.asarray(uv2), apron=apron, is_hdr=is_hdr)
     scale = 256.0 if is_hdr else 1.0
