@@ -96,7 +96,8 @@ def main() -> None:
     ap.add_argument("--warp", default="auto",
                     choices=("auto", "band", "strip", "gather"))
     ap.add_argument("--content", default="pan", choices=("pan", "noise"))
-    ap.add_argument("--flow-content", default="pan", choices=("pan", "random"))
+    ap.add_argument("--flow-content", default="pan",
+                    choices=("pan", "smooth", "random"))
     ap.add_argument("--json-only", action="store_true")
     ap.add_argument("--target-fps", type=float, default=None,
                     help="override the config's output rate (e.g. 120 for the"
@@ -171,6 +172,14 @@ def main() -> None:
         # Converged panning flow (what the pyramid produces on this content).
         flow_np = np.broadcast_to(np.array([2, 0], np.int16)[None, :, None, None],
                                   (B, 2, low_h, low_w)).copy()
+    elif args.flow_content == "smooth":
+        # Near-converged flow (base pan +-1 per cell): the serving-realistic
+        # middle axis — real video's blurred flow is smooth but not exactly
+        # uniform, so the uniform tier engages only partially and the
+        # short-chain fast path carries the rest.
+        flow_np = (np.array([2, 0], np.int16)[None, :, None, None]
+                   + rng.integers(-1, 2, (B, 2, low_h, low_w))
+                   ).astype(np.int16)
     else:
         flow_np = rng.integers(-12, 13, (B, 2, low_h, low_w)).astype(np.int16)
     flow_prev = jnp.asarray(flow_np)

@@ -101,15 +101,20 @@ def test_band_plan_chain_bounds_use_plan_scatter_signal():
     # converged: all-uniform plan -> (16,16) even at a mid-range bound
     eng._plans[key] = ("U",) * 16
     assert eng._band_plan(8, eng._apron) == (16, 16)
+    # converged + small bound: the 1.68 ms/output (8,8) chains
+    assert eng._band_plan(4, eng._apron) == (8, 8)
+    assert eng._band_plan(2, eng._apron) == (8, 8)
     # scattered: V steps present -> (32,32) in the certifiable mid-range
     eng._plans[key] = ("U",) * 12 + ("V0",) * 4
     assert eng._band_plan(8, eng._apron) == (32, 32)
+    # scattered small-bound keeps the (16,16) default (spread unknown)
+    assert eng._band_plan(2, eng._apron) == (16, 16)
     # out of the certifiable range either way
     assert eng._band_plan(13, eng._apron) == (16, 16)
-    assert eng._band_plan(2, eng._apron) == (16, 16)
-    # no settled plan: conservative (32,32) in the mid-range
+    # no settled plan: conservative (32,32) mid-range / (16,16) small
     del eng._plans[key]
     assert eng._band_plan(8, eng._apron) == (32, 32)
+    assert eng._band_plan(2, eng._apron) == (16, 16)
 
 
 @pytest.mark.parametrize("is_hdr,rs,mag", [
