@@ -624,6 +624,25 @@ class OpticalFlowEngine:
                 flow, res_scalar=self.res_scalar, is_hdr=self.is_hdr,
                 dim_y=self.h, dim_x=self.w)
         if mode == 3 and self.use_warp_strips and wctx0 is not None:
+            if self.use_warp_band:
+                # HSV overlay on the band kernel's raw mode-2 blend: the
+                # strip-gather mode 3 costs 867 ms/output at 4K (round-5 viz
+                # bench); this composition prices like mode 2 + elementwise.
+                cb = self._band_plan(flow_bound, apron)
+                raw_y, raw_uv = warp_band.warp_frame_band(
+                    wctx0, wctx1, flow,
+                    jnp.float32(blending_scalar), jnp.float32(black),
+                    jnp.float32(white),
+                    res_scalar=self.res_scalar, mode=2, is_hdr=self.is_hdr,
+                    dim_y=self.h, dim_x=self.w, apron=apron,
+                    apron_eff=self.warp_apron_used, chain_bounds=cb,
+                    interpret=self._band_interpret,
+                    kernel_unroll=warp_kernel_unroll(),
+                    uniform_tier=warp_uniform_tier(), raw_blend=True)
+                return warp_viz.hsv_flow_overlay(
+                    raw_y, raw_uv, flow, jnp.float32(black),
+                    jnp.float32(white), res_scalar=self.res_scalar,
+                    is_hdr=self.is_hdr, dim_y=self.h, dim_x=self.w)
             return warp_strip.warp_frame_strip(
                 wctx0, wctx1, flow,
                 jnp.float32(blending_scalar), jnp.float32(black), jnp.float32(white),

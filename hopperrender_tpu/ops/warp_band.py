@@ -228,7 +228,7 @@ def _merge_cells_kernel(
     res_v: int = RES_V, res_h: int = RES_H,
     row_shift: int = 0, lane_shift: int = 0, slot16: bool = False,
     batched: bool = False, group_unroll: int = 1, force_fast: bool = False,
-    uniform_tier: bool = True,
+    uniform_tier: bool = True, raw_blend: bool = False,
 ):
     """Kernel factory. Refs:
       disp_ref  SMEM (1, 8, cpb*cpt*nk/8) int32, flattened per-cell records of
@@ -566,7 +566,11 @@ def _merge_cells_kernel(
                         jnp.int32).astype(F32)
                     blended = jnp.trunc(v12 * fs21 + v21 * fs12).astype(
                         jnp.int32)
-                    if is_uv:
+                    if raw_blend:
+                        # Mode-3 feeder: the HSV overlay (warp_viz) needs the
+                        # PRE-levels blend (identity levels are not f32-exact)
+                        res = blended
+                    elif is_uv:
                         res = _apply_levels_uv(blended, white, is_hdr)
                     else:
                         res = _apply_levels_y(blended, black, white, is_hdr)
@@ -600,7 +604,8 @@ def _band_call(disp, fscal, fs, lev, fmap, src12, src21, *, cell,
                res_v=RES_V, res_h=RES_H, row_shift=0, lane_shift=0,
                slot16=False, n_bands=None, band_start=None,
                n_bands_local=None, full_apron=None, t_batch=1,
-               unroll=1, force_fast=False, uniform_tier=True):
+               unroll=1, force_fast=False, uniform_tier=True,
+               raw_blend=False):
     """band_start / n_bands_local: mesh row-band sharding (parallel/mesh.py).
     The per-band operands (disp, fscal, fmap) and the packed sources are
     sliced to this shard's contiguous run of bands BEFORE the pallas_call, so
@@ -636,7 +641,7 @@ def _band_call(disp, fscal, fs, lev, fmap, src12, src21, *, cell,
         sdiv8=sdiv8, res_v=res_v, res_h=res_h,
         row_shift=row_shift, lane_shift=lane_shift, slot16=slot16,
         batched=batched, group_unroll=unroll, force_fast=force_fast,
-        uniform_tier=uniform_tier)
+        uniform_tier=uniform_tier, raw_blend=raw_blend)
     disp = disp.reshape(disp.shape[0], disp.shape[1] * 8, xdiv8)
     # fscal: (n_gr_total, n_tiles, n_sub, 2) -> (nb, nt*8, sdiv8)
     n_sub = tile_w32 // 128
@@ -827,7 +832,7 @@ def pack_band_context(wctx: dict, *, res_scalar: int, is_hdr: bool,
                               "apron", "interpret", "vmem_budget",
                               "chain_bounds", "debug_prep_only", "apron_eff",
                               "num_shards", "kernel_unroll", "force_fast",
-                              "uniform_tier", "debug_y_only",
+                              "uniform_tier", "raw_blend", "debug_y_only",
                               "debug_uv_only"),
 )
 def warp_frame_band(
@@ -841,7 +846,7 @@ def warp_frame_band(
     apron_eff: int | None = None,
     num_shards: int = 1, shard_index=None,
     kernel_unroll: int = 1, force_fast: bool = False,
-    uniform_tier: bool = True,
+    uniform_tier: bool = True, raw_blend: bool = False,
     debug_y_only: bool = False, debug_uv_only: bool = False,
 ):
     """Pallas twin of warp_strip.warp_frame_strip (identical outputs) for modes
@@ -1126,7 +1131,7 @@ def warp_frame_band(
                 else shard_index * (nb_y // num_shards)),
             n_bands_local=nb_y // num_shards, full_apron=a,
             t_batch=t_batch, unroll=kernel_unroll, force_fast=force_fast,
-            uniform_tier=uniform_tier)
+            uniform_tier=uniform_tier, raw_blend=raw_blend)
         if batched:
             rows_loc = outy.shape[0] // t_batch
             rows_y_out = dim_y if shard_index is None else rows_loc
@@ -1183,7 +1188,7 @@ def warp_frame_band(
             else shard_index * (nb_c // num_shards)),
         n_bands_local=nb_c // num_shards, full_apron=ac,
         t_batch=t_batch, unroll=kernel_unroll, force_fast=force_fast,
-            uniform_tier=uniform_tier)
+            uniform_tier=uniform_tier, raw_blend=raw_blend)
     pair_dtype = jnp.uint32 if is_hdr else jnp.uint16
     if batched:
         rows_loc_c = outc.shape[0] // t_batch

@@ -187,6 +187,44 @@ def test_uniform_certificate_engagement(rng, monkeypatch):
         assert uni_rate == expect, (uni_rate, expect)
 
 
+@pytest.mark.parametrize("is_hdr,rs,mag", [
+    (False, 2, 10), (True, 3, 25), (False, 2, None)])
+def test_mode3_band_overlay_matches_strip(rng, is_hdr, rs, mag):
+    """Mode 3 via the band kernel's raw blend + the HSV overlay op is
+    bit-exact vs the strip mode-3 oracle (the 4K strip gathers cost 867
+    ms/output on chip — round-5 viz bench; the overlay prices like mode 2)."""
+    from hopperrender_tpu.ops import warp_viz
+
+    h, w, apron = 64, 128, 32
+    low_h, low_w = h >> rs, w >> rs
+    y1, uv1 = make_frame(rng, h, w, is_hdr)
+    y2, uv2 = make_frame(rng, h, w, is_hdr)
+    if mag is None:
+        flow = np.full((2, low_h, low_w), 3, np.int16)
+    else:
+        flow = rng.integers(-mag, mag + 1, (2, low_h, low_w)).astype(np.int16)
+    c1 = warp_strip.build_warp_context(jnp.asarray(y1), jnp.asarray(uv1),
+                                       apron=apron, is_hdr=is_hdr)
+    c2 = warp_strip.build_warp_context(jnp.asarray(y2), jnp.asarray(uv2),
+                                       apron=apron, is_hdr=is_hdr)
+    flow = jnp.asarray(flow)
+    black = 16.0 * (256 if is_hdr else 1)
+    white = 235.0 * (256 if is_hdr else 1)
+    ys, uvs = warp_strip.warp_frame_strip(
+        c1, c2, flow, jnp.float32(0.375), jnp.float32(black),
+        jnp.float32(white), res_scalar=rs, mode=3, is_hdr=is_hdr,
+        dim_y=h, dim_x=w, apron=apron)
+    ry, ruv = warp_band.warp_frame_band(
+        c1, c2, flow, jnp.float32(0.375), jnp.float32(black),
+        jnp.float32(white), res_scalar=rs, mode=2, is_hdr=is_hdr,
+        dim_y=h, dim_x=w, apron=apron, interpret=True, raw_blend=True)
+    yo, uvo = warp_viz.hsv_flow_overlay(
+        ry, ruv, flow, jnp.float32(black), jnp.float32(white),
+        res_scalar=rs, is_hdr=is_hdr, dim_y=h, dim_x=w)
+    np.testing.assert_array_equal(np.asarray(yo), np.asarray(ys))
+    np.testing.assert_array_equal(np.asarray(uvo), np.asarray(uvs))
+
+
 def test_batched_debug_prep_only_shapes(rng):
     """Batched prep-only accounting (tpu_warp_decomp): full vmapped table
     build + fold runs, kernel skipped, batched output contract kept."""
