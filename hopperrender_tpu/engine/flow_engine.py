@@ -710,18 +710,41 @@ class OpticalFlowEngine:
     def _run_warp_batch(self, wctx0, wctx1, flow, ts, mode: int, *,
                         apron, flow_bound=None):
         """Batched twin of _run_warp for the band path: one call, (T,) ts,
-        (T, ...) outputs. Same host plan (apron tier + chain bounds)."""
+        (T, ...) outputs. Same host plan (apron tier + chain bounds).
+
+        Bucket-5 t_batch cap: the 4K bucket-5 UV geometry (band 360, 3
+        bands) deterministically crashes the TPU worker at t_batch >= 3
+        (round-5 bisection: T=2 passes all repros incl. the bench chain
+        shape and the chip gate; T=3/T=5 crash in three independent
+        harnesses — bench, served, tpu_band_check). Until the Mosaic root
+        cause lands, the floor bucket dispatches the batch in <=2-output
+        chunks — bit-identical (tests/test_round5.py), costs one extra
+        launch per interval at the bucket the scaler only visits under
+        pressure."""
         cb = self._band_plan(flow_bound, apron)
         black, white = self._levels()
-        return warp_band.warp_frame_band(
-            wctx0, wctx1, flow, ts,
-            jnp.float32(black), jnp.float32(white),
-            res_scalar=self.res_scalar, mode=mode, is_hdr=self.is_hdr,
-            dim_y=self.h, dim_x=self.w, apron=apron,
-            apron_eff=self.warp_apron_used, chain_bounds=cb,
-            interpret=self._band_interpret,
-            kernel_unroll=warp_kernel_unroll(),
-            uniform_tier=warp_uniform_tier())
+        chunk = 2 if self._bucket <= 5 else int(ts.shape[0])
+        outs = []
+        for i in range(0, int(ts.shape[0]), max(chunk, 1)):
+            part = ts[i:i + chunk]
+            if int(part.shape[0]) == 1:
+                part = part[0]   # scalar call (no batch axis to strip)
+            y, uv = warp_band.warp_frame_band(
+                wctx0, wctx1, flow, part,
+                jnp.float32(black), jnp.float32(white),
+                res_scalar=self.res_scalar, mode=mode, is_hdr=self.is_hdr,
+                dim_y=self.h, dim_x=self.w, apron=apron,
+                apron_eff=self.warp_apron_used, chain_bounds=cb,
+                interpret=self._band_interpret,
+                kernel_unroll=warp_kernel_unroll(),
+                uniform_tier=warp_uniform_tier())
+            if int(part.ndim if hasattr(part, "ndim") else 1) == 0:
+                y, uv = y[None], uv[None]
+            outs.append((y, uv))
+        if len(outs) == 1:
+            return outs[0]
+        return (jnp.concatenate([o[0] for o in outs], axis=0),
+                jnp.concatenate([o[1] for o in outs], axis=0))
 
     def warp_frames_batch(self, blending_scalars, frame_output_mode: int):
         """All of one source interval's outputs in ONE dispatch: a single

@@ -225,6 +225,41 @@ def test_mode3_band_overlay_matches_strip(rng, is_hdr, rs, mag):
     np.testing.assert_array_equal(np.asarray(uvo), np.asarray(uvs))
 
 
+@pytest.mark.exhaustive
+def test_bucket5_batch_chunking_bit_exact(rng):
+    """The bucket-5 t_batch cap (TPU worker-crash mitigation) splits the
+    batch into <=2-output chunks — outputs identical to the unchunked op."""
+    from hopperrender_tpu.engine.flow_engine import OpticalFlowEngine
+    from hopperrender_tpu.vio import nv12
+
+    h, w = 544, 960
+    eng = OpticalFlowEngine(h, w, is_hdr=False)
+    eng.search_radius = 5
+    eng._refresh_geometry()
+    eng.use_warp_band = warp_band.band_geometry_ok(
+        res_scalar=eng.res_scalar, is_hdr=False, dim_y=h, dim_x=w,
+        apron=eng._apron)
+    assert eng.use_warp_band and eng._bucket == 5
+    eng._band_interpret = True
+    y1, uv1 = nv12.synthetic_frame(rng, h, w, motion_x=0)
+    y2, uv2 = nv12.synthetic_frame(rng, h, w, motion_x=2)
+    w0 = eng._build_wctx(jnp.asarray(y1), jnp.asarray(uv1))
+    w1 = eng._build_wctx(jnp.asarray(y2), jnp.asarray(uv2))
+    flow = jnp.asarray(
+        rng.integers(-4, 5, (2, eng.low_h, eng.low_w)).astype(np.int16))
+    ts = jnp.asarray([0.2, 0.4, 0.6, 0.8, 1.0], jnp.float32)
+    yc, uvc = eng._run_warp_batch(w0, w1, flow, ts, 2, apron=eng._apron,
+                                  flow_bound=4)
+    cb = eng._band_plan(4, eng._apron)
+    yo, uvo = warp_band.warp_frame_band(
+        w0, w1, flow, ts, jnp.float32(0.0), jnp.float32(255.0),
+        res_scalar=eng.res_scalar, mode=2, is_hdr=False, dim_y=h, dim_x=w,
+        apron=eng._apron, apron_eff=eng.warp_apron_used, chain_bounds=cb,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(yc), np.asarray(yo))
+    np.testing.assert_array_equal(np.asarray(uvc), np.asarray(uvo))
+
+
 def test_batched_debug_prep_only_shapes(rng):
     """Batched prep-only accounting (tpu_warp_decomp): full vmapped table
     build + fold runs, kernel skipped, batched output contract kept."""
