@@ -1527,7 +1527,8 @@ def repair_plan(plan, invalid_step: int) -> tuple:
 @functools.partial(
     jax.jit,
     static_argnames=("low_h", "low_w", "res_scalar", "is_hdr", "num_iterations",
-                     "num_layers", "apron", "dim_y", "dim_x", "plan"),
+                     "num_layers", "apron", "dim_y", "dim_x", "plan",
+                     "debug_skip"),
 )
 def pyramid_flow_strip_planned(
     ctx1: dict,
@@ -1547,6 +1548,7 @@ def pyramid_flow_strip_planned(
     dim_y: int,
     dim_x: int,
     plan: tuple,
+    debug_skip: tuple = (),
 ):
     """Statically tier-planned twin of pyramid_flow_strip (see block comment
     above). Returns (offsets, blurred, total_delta_raw, sig) with the
@@ -1585,12 +1587,18 @@ def pyramid_flow_strip_planned(
             res_scalar=res_scalar, apron=apron))
         # Pre-step deviant count vs the probe-dominant offset — always
         # computed (a few vector ops on the window grid): it validates THIS
-        # step's tier and predicts the next frame's.
+        # step's tier and predicts the next frame's. debug_skip is a TIMING
+        # ATTRIBUTION probe only (scripts/tpu_flow_decomp.py): "counters"
+        # fakes the validity counts (sig invalid!), "winners" skips the
+        # argmin/adjust chain (offsets stay zero) — never served.
         win_pk = ((offsets[0, ::window, ::window].astype(jnp.int32) << 16)
                   | (offsets[1, ::window, ::window].astype(jnp.int32)
                      & 0xFFFF))
-        n_dev = jnp.sum((win_pk != _dominant_offset(win_pk))
-                        .astype(jnp.int32))
+        if "counters" in debug_skip:
+            n_dev = win_pk[0, 0]
+        else:
+            n_dev = jnp.sum((win_pk != _dominant_offset(win_pk))
+                            .astype(jnp.int32))
         ndevs.append(n_dev)
         # Distinct-value count: a sort of the window grid — only worth paying
         # where a V tier could matter (it runs V, or the step is an expensive
@@ -1630,9 +1638,12 @@ def pyramid_flow_strip_planned(
         if iteration == 0 and step == 0:
             total_delta_raw = jax.lax.dynamic_index_in_dim(
                 sums[:, 0, 0], radius // 2 - 1, keepdims=False)
-        winners = flow_ops.lowest_layer(sums)
-        offsets = flow_ops.adjust_offsets(
-            offsets, winners, radius, window_size=window, step=step)
+        if "winners" in debug_skip:
+            offsets = offsets + sums[0, :1, :1].astype(jnp.int16)[None]
+        else:
+            winners = flow_ops.lowest_layer(sums)
+            offsets = flow_ops.adjust_offsets(
+                offsets, winners, radius, window_size=window, step=step)
         # Per-step fence: unbounded fusion across pyramid steps faults the
         # TPU runtime (PERF.md fusion hazard) — same fence as the cond path.
         offsets = jax.lax.optimization_barrier(offsets)

@@ -150,8 +150,42 @@ def main():
             acc = jax.lax.optimization_barrier(acc + wctx_unit(yy, uv1))
         return acc
 
-    for name, chain in (("ctx", ctx_chain), ("flow", flow_chain),
-                        ("blur", blur_chain), ("wctx", wctx_chain)):
+    # Pyramid-internal attribution: the planned pyramid with per-step pieces
+    # stubbed (timing probes only — outputs/sig invalid; flow_strip
+    # debug_skip docstring). pyramid-only ~= flow - ctx; counters cost ~=
+    # flow - flow_no_counters; winners (argmin+adjust) ~= flow - flow_no_winners.
+    from hopperrender_tpu.ops import flow_strip
+
+    plan_t = engine._plans.get(engine._plan_key())
+    scalars = (jnp.int32(args.radius), jnp.int32(engine.delta_scalar),
+               jnp.int32(engine.neighbor_scalar))
+    pkw = dict(low_h=low_h, low_w=low_w, res_scalar=engine.res_scalar,
+               is_hdr=is_hdr, num_layers=engine._bucket, apron=engine._apron,
+               dim_y=h, dim_x=w, num_iterations=engine.num_iterations)
+
+    def pyr_chain(skip):
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def chain(salt, *, k):
+            acc = jnp.uint32(salt)
+            for _ in range(k):
+                yy = y1 + (acc % 2).astype(salt_dtype)
+                ctx = engine._build_ctx(yy, uv1)
+                off, blurred, raw, sig = flow_strip.pyramid_flow_strip_planned(
+                    ctx, y2, uv2, *scalars, plan=plan_t, debug_skip=skip,
+                    **pkw)
+                acc = jax.lax.optimization_barrier(
+                    acc + raw + blurred[0, 0, 0].astype(jnp.uint32)
+                    + jnp.sum(sig).astype(jnp.uint32))
+            return acc
+        return chain
+
+    probes = [("ctx", ctx_chain), ("flow", flow_chain),
+              ("blur", blur_chain), ("wctx", wctx_chain)]
+    if plan_t is not None:
+        probes += [("flow_no_counters", pyr_chain(("counters",))),
+                   ("flow_no_winners", pyr_chain(("winners",))),
+                   ("flow_sums_only", pyr_chain(("counters", "winners")))]
+    for name, chain in probes:
         ms = slope_ms(chain)
         emit(name, ms)
 
