@@ -48,9 +48,14 @@ Flags:
                          across frames (real-video-like; the pyramid converges
                          and the dense/uniform tiers engage); noise = frames
                          share only the texture (adversarial for convergence)
-  --flow-content {pan,random}  flow field feeding the warps (pan = converged
-                         smooth flow, the band kernel's fast path; random =
-                         adversarial per-cell flow, its slow path)
+  --flow-content {pan,smooth,random,random-blurred}  flow field feeding the
+                         warps (pan = converged smooth flow, the band kernel's
+                         fast path; smooth = pan +-1/cell, the serving middle
+                         axis; random = adversarial raw per-cell flow, the
+                         kernel-stress slow path; random-blurred = random
+                         passed through the engine's blur_flow — the SERVED
+                         adversarial axis, since the warp only ever sees
+                         blurred flow)
   --json-only            suppress the human-readable breakdown on stderr
 """
 
@@ -97,7 +102,7 @@ def main() -> None:
                     choices=("auto", "band", "strip", "gather"))
     ap.add_argument("--content", default="pan", choices=("pan", "noise"))
     ap.add_argument("--flow-content", default="pan",
-                    choices=("pan", "smooth", "random"))
+                    choices=("pan", "smooth", "random", "random-blurred"))
     ap.add_argument("--json-only", action="store_true")
     ap.add_argument("--target-fps", type=float, default=None,
                     help="override the config's output rate (e.g. 120 for the"
@@ -182,6 +187,16 @@ def main() -> None:
                    ).astype(np.int16)
     else:
         flow_np = rng.integers(-12, 13, (B, 2, low_h, low_w)).astype(np.int16)
+    if args.flow_content == "random-blurred":
+        # The SERVED adversarial axis: the engine always blurs the pyramid's
+        # flow before any warp (flow_engine._run_pyramid -> blur_flow), so a
+        # warp never sees raw per-cell noise — feeding unblurred random flow
+        # to the warp benches a field the serving path cannot produce.
+        # Blur the raw random field with the engine's own kernel first.
+        from hopperrender_tpu.ops import flow as _flow_ops
+        flow_np = np.stack([
+            np.asarray(jax.device_get(_flow_ops.blur_flow(jnp.asarray(f))))
+            for f in flow_np])
     flow_prev = jnp.asarray(flow_np)
     salt_dtype = jnp.uint16 if is_hdr else jnp.uint8
 
